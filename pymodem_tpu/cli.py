@@ -1,0 +1,53 @@
+"""Command-line driver: ``python -m pymodem_tpu <config.json> <audio.wav>``.
+
+Same interface and exit codes as the reference driver (pymodem.py:5-9,25-49).
+Set PYMODEM_TPU_X64=1 to run the DSP in float64 (bit-parity mode on CPU);
+the default on TPU is float32.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    if len(argv) != 3:
+        print("Not enough arguments. Usage: python3 -m pymodem_tpu "
+              "<config json> <sound file>")
+        return 2
+
+    if os.environ.get("PYMODEM_TPU_X64", "0") not in ("0", "", "false"):
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    from .config import load_plan
+    from .runtime.executor import run_plan
+    from .wav_io import read_wav
+
+    try:
+        sample_rate, audio = read_wav(argv[2])
+    except Exception:
+        print("Unable to open audio file.")
+        return 4
+    try:
+        plan = load_plan(argv[1], sample_rate)
+    except Exception as exc:
+        print(f"Unable to open config json file. ({exc})")
+        return 3
+
+    print(f"Built {len(plan.chains)} demod chains")
+    start = time.time()
+    result = run_plan(plan, audio, sample_rate, verbose=True)
+    for report_spec, text in zip(plan.reports, result.reports):
+        print(f"Generating {report_spec.name}")
+        print(text)
+    print(f"Elapsed time: {round(time.time() - start, 2)} seconds.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,87 @@
+"""Bulk FIR filtering on device.
+
+The reference applies every FIR with ``numpy.convolve(x, taps, 'valid')``
+(afsk.py:151-166, psk.py:165/193, fsk.py:151).  Each stage therefore shortens
+the stream by ``len(taps) - 1`` samples; stream addresses downstream count the
+*shortened* stream, so the trim arithmetic here is parity-relevant.
+
+Two execution strategies:
+
+* ``direct``: jnp.convolve / conv_general_dilated -- best for short taps and
+  for float64 CPU parity runs.
+* ``fft``: overlap-free full FFT convolution -- best on TPU for long inputs,
+  where the MXU/VPU cost of direct convolution with hundreds of taps exceeds
+  a pair of FFTs.  (A Pallas overlap-save kernel can slot in behind the same
+  interface later.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def fir_valid(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
+    """'valid'-mode convolution of a 1-D signal with FIR taps.
+
+    out[k] = sum_j x[k + T - 1 - j] * taps[j]  (numpy.convolve semantics,
+    kernel flipped), with output length len(x) - len(taps) + 1.
+    """
+    n = x.shape[-1]
+    t = taps.shape[-1]
+    if method == "auto":
+        # FFT wins once taps are long and the dtype is 32-bit (TPU path).
+        method = "fft" if (t > 64 and x.dtype != jnp.float64) else "direct"
+    if method == "direct":
+        return jnp.convolve(x, taps, mode="valid")
+    # Full-size FFT convolution (rfft), trimmed to 'valid'.
+    m = _next_pow2(n + t - 1)
+    fx = jnp.fft.rfft(x, m)
+    fh = jnp.fft.rfft(taps, m)
+    full = jnp.fft.irfft(fx * fh, m)[: n + t - 1]
+    return full[t - 1 : n].astype(x.dtype)
+
+
+def fir_valid_batch(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
+    """Batched valid FIR: x (..., N) with shared taps (T,) or per-row (..., T)."""
+    if taps.ndim == 1:
+        return jax.vmap(lambda row: fir_valid(row, taps, method))(
+            x.reshape(-1, x.shape[-1])
+        ).reshape(x.shape[:-1] + (x.shape[-1] - taps.shape[-1] + 1,))
+    flat_x = x.reshape(-1, x.shape[-1])
+    flat_t = taps.reshape(-1, taps.shape[-1])
+    out = jax.vmap(lambda row, h: fir_valid(row, h, method))(flat_x, flat_t)
+    return out.reshape(x.shape[:-1] + (out.shape[-1],))
+
+
+def afsk_correlate(audio: jax.Array, mark_i: jax.Array, mark_q: jax.Array,
+                   space_i: jax.Array, space_q: jax.Array,
+                   method: str = "auto") -> jax.Array:
+    """Mark/space quadrature tone correlation: mark_mag - space_mag.
+
+    Fuses the four correlator FIRs of afsk.py:152-162: magnitude of the
+    quadrature pair at each tone, then their difference.
+    """
+    mi = fir_valid(audio, mark_i, method)
+    mq = fir_valid(audio, mark_q, method)
+    si = fir_valid(audio, space_i, method)
+    sq = fir_valid(audio, space_q, method)
+    return jnp.sqrt(mi * mi + mq * mq) - jnp.sqrt(si * si + sq * sq)
+
+
+def design_length_out(n_in: int, *tap_counts: int) -> int:
+    """Output length after a cascade of 'valid' FIR stages."""
+    n = n_in
+    for t in tap_counts:
+        n = n - int(t) + 1
+    return n
+
+
+def np_fir_valid(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
+    """Host-side mirror for tests and golden generation."""
+    return np.convolve(x, taps, mode="valid")

@@ -1,0 +1,307 @@
+"""Reed-Solomon decode (and encode, for the signal synthesizer).
+
+IL2P uses two RS codes over GF(256)/0x11D, first root 0: a (15,13) header
+code (2 roots) and a (N,N-16) payload-block code (16 roots) (il2p.py:130-136).
+
+``rs_decode_np`` reproduces the reference decoder's exact behaviour
+(rs_functions.py:33-150): Horner syndromes, a Berlekamp iteration with a
+persistent (stale-carrying) next-locator buffer, Chien search over the block,
+Forney magnitudes with the reference's index arithmetic quirks (log[0] == 0;
+index reductions that may pass through -1, which aliases to table[254]), a
+``min_distance`` margin that refuses corrections when error_count exceeds
+(nroots/2 - min_distance), and a final syndrome recheck that returns -1 on
+failure while leaving any corrections applied.
+
+``rs_decode_jax`` is the same algorithm in fixed-shape, batched array form:
+everything is vectorized over a batch of blocks, loops are unrolled to the
+static root count, and data-dependent sizes become masks.  Equivalence to the
+numpy version (and transitively to the reference) is asserted in
+tests/test_rs.py over randomized error patterns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gf import GF256, GFTables, np_gf_mul, np_poly_mul
+
+
+@dataclass(frozen=True)
+class RSCode:
+    gf: GFTables
+    first_root: int
+    num_roots: int
+    genpoly: np.ndarray  # lowest order first, degree == num_roots
+
+
+def make_rs(first_root: int, num_roots: int, gf: GFTables = GF256) -> RSCode:
+    """Generator polynomial prod_{i}(x + alpha^(first_root+i))
+    (rs_functions.py:9-31)."""
+    genpoly = np.array([gf.antilog[first_root], 1], dtype=np.int32)
+    for i in range(first_root + 1, first_root + num_roots):
+        factor = np.array([gf.antilog[i], 1], dtype=np.int32)
+        genpoly = np_poly_mul(gf, genpoly, factor)
+    return RSCode(gf=gf, first_root=first_root, num_roots=num_roots, genpoly=genpoly)
+
+
+RS_HEADER = make_rs(0, 2)  # il2p.py:131-135
+RS_BLOCK = make_rs(0, 16)  # il2p.py:132-136
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) decoder -- exact mirror of the reference control flow
+# ---------------------------------------------------------------------------
+
+
+def _np_syndromes(rs: RSCode, data, block_size: int) -> np.ndarray:
+    gf = rs.gf
+    synd = np.zeros(rs.num_roots, dtype=np.int32)
+    for i in range(rs.num_roots):
+        x = gf.antilog[rs.first_root + i]
+        s = 0
+        for j in range(block_size - 1):
+            s = int(np_gf_mul(gf, s ^ int(data[j]), x))
+        synd[i] = s ^ int(data[block_size - 1])
+    return synd
+
+
+def rs_decode_np(rs: RSCode, data, block_size: int, min_distance: int = 0) -> int:
+    """Decode in place; returns corrected-error count or -1 on failure."""
+    gf = rs.gf
+    order = gf.order
+    nroots = rs.num_roots
+    t2 = nroots // 2
+    mul = lambda a, b: int(np_gf_mul(gf, a, b))
+
+    synd = _np_syndromes(rs, data, block_size)
+
+    # Berlekamp-Massey with the reference's buffer-reuse semantics.
+    locator = np.zeros(nroots, dtype=np.int64)
+    locator[0] = 1
+    corrector = np.zeros(nroots + 1, dtype=np.int64)
+    corrector[1] = 1
+    next_locator = np.zeros(nroots, dtype=np.int64)  # persists across steps
+    tracker = 0
+    for step in range(1, nroots + 1):
+        y = step - 1
+        e = int(synd[y])
+        for i in range(1, tracker + 1):
+            e ^= mul(int(locator[i]), int(synd[y - i]))
+        if e != 0:
+            for i in range(tracker + 1):
+                next_locator[i] = int(locator[i]) ^ mul(e, int(corrector[i]))
+            e_inv = int(gf.inverse[e])
+            for i in range(t2 + 1):
+                corrector[i] = mul(int(locator[i]), e_inv)
+            locator[: t2 + 1] = next_locator[: t2 + 1]
+        if 2 * tracker < step:
+            tracker = step - tracker
+        corrector[1:] = corrector[:-1]
+        corrector[0] = 0
+
+    # Chien search.
+    locations = []
+    for j in range(block_size):
+        y = j + order - block_size
+        x = 0
+        for i in range(1, t2 + 1):
+            if locator[i]:
+                z = (y * i + int(gf.log[locator[i]]))
+                while z > order - 2:
+                    z -= order - 1
+                x ^= int(gf.antilog[z])
+        x ^= int(locator[0])
+        if x == 0:
+            locations.append(j)
+    error_count = len(locations)
+
+    if error_count <= t2 - min_distance:
+        # Forney.
+        omega = np.zeros(nroots + 1, dtype=np.int64)
+        for i in range(error_count):
+            omega[i] = int(synd[rs.first_root + i])
+            for j in range(1, i + 1):
+                omega[i] ^= mul(int(synd[rs.first_root + i - j]), int(locator[j]))
+        for k in range(error_count):
+            e = block_size - locations[k] - 1
+            z = int(omega[0])
+            for j in range(1, error_count):
+                # reference's two-step fold computes alpha^(-e*j)
+                x = (-(e * j)) % (order - 1)
+                z ^= mul(int(omega[j]), int(gf.antilog[x]))
+            z = mul(z, int(gf.antilog[e]))
+            y = int(locator[1])
+            for j in range(3, t2 + 1, 2):
+                x = (-(e * (j - 1))) % (order - 1)
+                y ^= mul(int(locator[j]), int(gf.antilog[x]))
+            ly = int(gf.log[y])  # log[0] == 0 quirk preserved
+            yidx = order - ly - 1
+            if yidx == order - 1:
+                yidx = 0
+            y = int(gf.antilog[yidx])
+            data[locations[k]] ^= mul(y, z)
+
+    # Recheck: corrections stay applied even on failure.
+    synd = _np_syndromes(rs, data, block_size)
+    if np.any(synd != 0):
+        return -1
+    return error_count
+
+
+def rs_encode_np(rs: RSCode, data: np.ndarray) -> np.ndarray:
+    """Append num_roots parity bytes so every decode syndrome is zero.
+
+    The decoder evaluates the block as a polynomial with data[0] as the
+    highest-order coefficient, so parity is the remainder of
+    d(x) * x^nroots mod genpoly(x), appended after the data.
+    """
+    gf = rs.gf
+    nroots = rs.num_roots
+    work = np.concatenate([np.asarray(data, dtype=np.int32), np.zeros(nroots, np.int32)])
+    gp = rs.genpoly[::-1]  # highest order first; gp[0] == 1
+    for i in range(len(data)):
+        coef = int(work[i])
+        if coef:
+            work[i : i + nroots + 1] ^= np_gf_mul(gf, coef, gp)
+    out = np.concatenate([np.asarray(data, dtype=np.int32), work[len(data):]])
+    return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device (jax) decoder -- batched, fixed shapes, mask-driven
+# ---------------------------------------------------------------------------
+
+
+def _xor_reduce(x: jax.Array, axis: int) -> jax.Array:
+    return jax.lax.reduce(x, np.int32(0), jax.lax.bitwise_xor, (axis,))
+
+
+def _jmul(antilog, log, a, b):
+    prod = antilog[(log[a] + log[b]) % 255]
+    return jnp.where((a == 0) | (b == 0), 0, prod)
+
+
+@partial(jax.jit, static_argnames=("num_roots", "first_root", "min_distance"))
+def rs_decode_jax(data: jax.Array, block_size: jax.Array, num_roots: int,
+                  first_root: int = 0, min_distance: int = 0,
+                  gf: GFTables = GF256):
+    """Batched RS decode.
+
+    data: (B, L) int32 with L >= max block size (255); block_size: (B,) int32.
+    Returns (corrected_data (B, L), result (B,) int32) where result is the
+    corrected-error count or -1 on failure, matching rs_decode_np per block.
+    """
+    antilog = jnp.asarray(gf.antilog)
+    log = jnp.asarray(gf.log)
+    inverse = jnp.asarray(gf.inverse)
+    order = gf.order
+    B, L = data.shape
+    t2 = num_roots // 2
+    bs = block_size[:, None]
+
+    def syndromes(d):
+        j = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
+        i = jnp.arange(num_roots, dtype=jnp.int32)[None, None, :]  # (1, 1, R)
+        deg = (bs[..., None] - 1 - j) % (order - 1)  # (B, L, 1)
+        power = ((first_root + i) * deg) % (order - 1)
+        term = _jmul(antilog, log, d[:, :, None], antilog[power])
+        term = jnp.where(j < bs[..., None], term, 0)
+        return _xor_reduce(term, axis=1)  # (B, R)
+
+    synd = syndromes(data)
+
+    # Berlekamp-Massey, unrolled over the (static) root count.
+    locator = jnp.zeros((B, num_roots), jnp.int32).at[:, 0].set(1)
+    corrector = jnp.zeros((B, num_roots + 1), jnp.int32).at[:, 1].set(1)
+    next_locator = jnp.zeros((B, num_roots), jnp.int32)
+    tracker = jnp.zeros((B,), jnp.int32)
+    idx_r = jnp.arange(num_roots, dtype=jnp.int32)[None, :]
+    for step in range(1, num_roots + 1):
+        y = step - 1
+        # e = synd[y] ^ XOR_{1<=i<=tracker} locator[i]*synd[y-i]
+        gather = jnp.clip(y - idx_r, 0, num_roots - 1)
+        terms = _jmul(antilog, log, locator, jnp.take_along_axis(synd, gather, axis=1))
+        terms = jnp.where((idx_r >= 1) & (idx_r <= tracker[:, None]), terms, 0)
+        e = synd[:, y] ^ _xor_reduce(terms, axis=1)
+        active = (e != 0)[:, None]
+        nl_upd = locator ^ _jmul(antilog, log, e[:, None], corrector[:, :num_roots])
+        in_range = idx_r <= tracker[:, None]
+        next_locator = jnp.where(active & in_range, nl_upd, next_locator)
+        e_inv = inverse[e]
+        low = idx_r <= t2
+        corr_upd = _jmul(antilog, log, locator, e_inv[:, None])
+        corrector = corrector.at[:, :num_roots].set(
+            jnp.where(active & low, corr_upd, corrector[:, :num_roots])
+        )
+        locator = jnp.where(active & low, next_locator, locator)
+        tracker = jnp.where(2 * tracker < step, step - tracker, tracker)
+        corrector = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), corrector[:, :-1]], axis=1
+        )
+
+    # Chien search over all positions, masked to the block.
+    j = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
+    i = jnp.arange(1, t2 + 1, dtype=jnp.int32)[None, None, :]  # (1, 1, t2)
+    yv = j + order - bs[..., None]
+    z = (yv * i + log[locator[:, None, 1 : t2 + 1]]) % (order - 1)
+    terms = jnp.where(locator[:, None, 1 : t2 + 1] != 0, antilog[z], 0)
+    chien = _xor_reduce(terms, axis=2) ^ locator[:, None, 0]  # (B, L)
+    is_err = (chien == 0) & (j[..., 0] < bs)
+    error_count = jnp.sum(is_err, axis=1).astype(jnp.int32)
+    # positions in ascending order, padded with L (out of range)
+    loc_sorted = jnp.sort(jnp.where(is_err, j[..., 0], L), axis=1)[:, :t2]  # (B, t2)
+
+    apply_fix = error_count <= (t2 - min_distance)
+
+    # Forney error evaluator omega[i], i < t2 (only entries < error_count used).
+    omega = []
+    for i0 in range(t2):
+        acc = synd[:, first_root + i0]
+        for jj in range(1, i0 + 1):
+            acc = acc ^ _jmul(antilog, log, synd[:, first_root + i0 - jj], locator[:, jj])
+        omega.append(acc)
+    omega = jnp.stack(omega, axis=1)  # (B, t2)
+
+    e_pos = block_size[:, None] - loc_sorted - 1  # (B, t2); garbage where masked
+    e_pos = jnp.clip(e_pos, 0, order - 2)
+
+    def fold(epw, jw):
+        # alpha^(-e*j): the reference's two-step index fold reduces to this
+        # (its transient -1 index aliases to table[254] == alpha^254).
+        return (-(epw * jw)) % (order - 1)
+
+    k_idx = jnp.arange(t2, dtype=jnp.int32)[None, :]
+    valid_err = k_idx < error_count[:, None]  # (B, t2)
+
+    mags = jnp.zeros((B, t2), jnp.int32)
+    z_acc = jnp.broadcast_to(omega[:, 0:1], (B, t2))
+    for jj in range(1, t2):
+        term = _jmul(antilog, log, omega[:, jj : jj + 1], antilog[fold(e_pos, jj)])
+        z_acc = jnp.where(jj < error_count[:, None], z_acc ^ term, z_acc)
+    z_acc = _jmul(antilog, log, z_acc, antilog[e_pos])
+    y_acc = jnp.broadcast_to(locator[:, 1:2], (B, t2))
+    for jj in range(3, t2 + 1, 2):
+        term = _jmul(antilog, log, locator[:, jj : jj + 1], antilog[fold(e_pos, jj - 1)])
+        y_acc = y_acc ^ term
+    ly = log[y_acc]
+    yidx = jnp.where(order - ly - 1 == order - 1, 0, order - ly - 1)
+    y_val = antilog[yidx]
+    mags = _jmul(antilog, log, y_val, z_acc)
+
+    do_fix = valid_err & apply_fix[:, None]
+    scatter_pos = jnp.where(do_fix, loc_sorted, L)  # L drops out of range
+    corr = jnp.zeros((B, L), jnp.int32)
+    corr = corr.at[jnp.arange(B)[:, None], scatter_pos].add(
+        jnp.where(do_fix, mags, 0), mode="drop"
+    )
+    corrected = data ^ corr
+
+    recheck = syndromes(corrected)
+    ok = jnp.all(recheck == 0, axis=1)
+    result = jnp.where(ok, error_count, -1)
+    return corrected, result

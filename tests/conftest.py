@@ -1,0 +1,61 @@
+"""Test configuration.
+
+Parity tests run on CPU in float64 so decisions match the reference's Python
+float semantics exactly; sharding tests use 8 virtual CPU devices.  The
+upstream reference (read-only at /root/reference) is imported as the test
+oracle where present; tests that need it skip cleanly elsewhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+FIXTURE_WAV = os.path.join(REFERENCE_ROOT, "audio_samples/afsk_300_il2pc_noise.wav")
+
+sys.dont_write_bytecode = True  # the reference mount is read-only
+
+
+def has_reference() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "modems_codecs"))
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Importable handle to the reference package (oracle)."""
+    if not has_reference():
+        pytest.skip("reference repo not available")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import modems_codecs  # noqa: F401
+
+    return sys.modules["modems_codecs"]
+
+
+@pytest.fixture(scope="session")
+def fixture_audio():
+    """The one bundled noisy WAV (8 kHz int16, 156.8 s)."""
+    if not os.path.exists(FIXTURE_WAV):
+        pytest.skip("fixture wav not available")
+    from scipy.io import wavfile
+
+    rate, audio = wavfile.read(FIXTURE_WAV)
+    return rate, np.asarray(audio)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
