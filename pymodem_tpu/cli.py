@@ -19,10 +19,17 @@ def main(argv=None) -> int:
               "<config json> <sound file>")
         return 2
 
-    if os.environ.get("PYMODEM_TPU_X64", "0") not in ("0", "", "false"):
-        import jax
+    import jax
 
+    platform = os.environ.get("PYMODEM_TPU_PLATFORM", "")
+    if os.environ.get("PYMODEM_TPU_X64", "0") not in ("0", "", "false"):
+        # float64 parity mode: TPUs have no native f64, so run on host CPU.
         jax.config.update("jax_enable_x64", True)
+        platform = platform or "cpu"
+    if platform:
+        # JAX_PLATFORMS may be captured at interpreter startup (see
+        # tests/conftest.py); config.update is the reliable override.
+        jax.config.update("jax_platforms", platform)
 
     from .config import load_plan
     from .runtime.executor import run_plan

@@ -76,7 +76,7 @@ def ax25_decode_host(data: np.ndarray, addresses: np.ndarray, ident,
                     working >>= 1
                 elif one_run == 5:
                     pass  # stuffed zero
-                else:  # one_run == 6: flag
+                elif one_run == 6:  # flag (one_run > 6 only resets the count)
                     if byte_index >= min_packet_length and bit_index == 7:
                         packets.append(
                             Packet(

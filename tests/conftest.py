@@ -9,7 +9,10 @@ oracle where present; tests that need it skip cleanly elsewhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: this environment imports jax at interpreter startup (sitecustomize), so
+# JAX_PLATFORMS from os.environ is already captured; jax.config.update is the
+# only reliable override.  XLA_FLAGS is read lazily at CPU-client init, so the
+# env var still works for the virtual device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +21,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
