@@ -26,14 +26,19 @@ import jax.numpy as jnp
 @partial(jax.jit, static_argnames=("unroll",))
 def agc_apply(x: jax.Array, scaled_attack: jax.Array, scaled_decay: jax.Array,
               sustain_time: jax.Array, sustain_increment: jax.Array,
-              target_amplitude: jax.Array, unroll: int = 8) -> jax.Array:
+              target_amplitude: jax.Array, unroll: int = 8,
+              normal: jax.Array | None = None) -> jax.Array:
     """Apply AGC to a 1-D buffer; returns the scaled buffer.
 
     ``scaled_attack``/``scaled_decay`` are the per-sample rates
-    (attack_rate / sample_rate etc., agc.py:15-16).
+    (attack_rate / sample_rate etc., agc.py:15-16).  ``normal`` is the
+    whole-recording signed max (agc.py:67); pass it explicitly under
+    time-block sharding (a global collective max), else it is computed
+    over ``x``.
     """
     dtype = x.dtype
-    normal = jnp.max(x)  # signed max, matching agc.py:67
+    if normal is None:
+        normal = jnp.max(x)  # signed max, matching agc.py:67
     attack_step = scaled_attack * normal
     decay_step = scaled_decay * normal
 

@@ -47,6 +47,34 @@ def fir_valid(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
     return full[t - 1 : n].astype(x.dtype)
 
 
+def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
+    """'valid' convolution over the last axis of a batched signal.
+
+    x: (..., n); taps: (t,) shared across the batch.  ``direct`` lowers to the
+    same conv_general_dilated op as jnp.convolve, so per-element summation
+    order (and hence float results) matches the 1-D path bit-for-bit --
+    required for block-parallel vs sequential decision parity.
+    """
+    n = x.shape[-1]
+    t = taps.shape[-1]
+    if method == "auto":
+        method = "fft" if (t > 64 and x.dtype != jnp.float64) else "direct"
+    if method == "direct":
+        batch = x.shape[:-1]
+        lhs = x.reshape(-1, 1, n)  # (N, C=1, W)
+        rhs = taps[::-1].reshape(1, 1, t)  # (O=1, I=1, W) flipped: convolution
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        return out.reshape(*batch, n - t + 1)
+    m = _next_pow2(n + t - 1)
+    fx = jnp.fft.rfft(x, m)
+    fh = jnp.fft.rfft(taps, m)
+    full = jnp.fft.irfft(fx * fh, m)[..., : n + t - 1]
+    return full[..., t - 1 : n].astype(x.dtype)
+
+
 def fir_valid_batch(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
     """Batched valid FIR: x (..., N) with shared taps (T,) or per-row (..., T)."""
     if taps.ndim == 1:

@@ -1,0 +1,534 @@
+"""Banked, block-parallel chain execution -- the TPU-native runtime.
+
+The reference parallelizes by forking one OS process per demod chain and
+giving each the whole recording (pymodem.py:140-166).  Here the same workload
+is one compiled device program:
+
+* **Chain bank axis**: chains with identical static structure (same modem
+  family and parameter shapes, same slicer family, same descrambler) are
+  stacked into a single pytree with a leading chain axis and vmapped.
+  Sweep-bank configs (8 AFSK emphasis chains, QPSK carrier sweeps) become a
+  single batched program instead of 8 processes.
+* **Time-block axis**: the recording is split into fixed-size blocks with an
+  overlap-save halo.  FIR stages read ``trim`` extra input samples per block
+  (exact, like overlap-save FFT convolution); recurrent stages (AGC, PLL /
+  Costas, slicer clock) warm up inside the halo, which is sized to cover
+  loop acquisition plus the longest packet, and every packet is attributed
+  to exactly one block by its stream address.  This turns strictly
+  sequential scans into ``chains x blocks`` independent lanes, which is what
+  fills the VPU (a lone scan step is a handful of scalar flops; a banked
+  step is a wide vector op).
+* The AGC's non-causal whole-recording max (agc.py:67) is computed across
+  all blocks before the per-block scan -- under multi-device sharding this
+  is the global-max collective.
+
+Decision parity: FIR block outputs are bit-exact vs the sequential path
+(same conv op on the same windows).  Recurrent state at a block's keep
+region converges to the sequential trajectory within the halo (envelope
+clamps and phase locks are contractive); decisions -- bits, packets, stream
+addresses -- match the sequential run except for bit-marginal samples deep
+in noise.  Byte-boundary phase in a block differs from the sequential run
+(both codecs are bit-serial, so packets are unaffected), which shifts
+reported stream addresses by at most 7 symbol periods.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import modems
+from ..config import (
+    AFSKModemSpec,
+    BinarySlicerSpec,
+    ChainSpec,
+    FourLevelSlicerSpec,
+    QuadratureSlicerSpec,
+)
+from ..dsp.agc import agc_apply
+from ..dsp.fir import fir_valid_nd
+from ..dsp.loops import afsk_pll, bpsk_costas, mpsk_loop, qpsk_costas
+from ..ops.lfsr import descramble_bytes
+from ..ops.slicers import (
+    SlicerOut,
+    binary_slice,
+    compact_bytes,
+    four_level_slice,
+    quadrature_slice,
+)
+
+
+# ---------------------------------------------------------------------------
+# Block plan
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BlockPlan:
+    """Time-block layout over the demodulated stream.
+
+    Demod-output index space: the sequential demod output has ``n_demod``
+    samples (input length minus the FIR trim cascade).  Block ``b`` computes
+    demod indices ``[b*block_len - overlap, b*block_len + block_len)``; the
+    leading ``overlap`` is warm-up halo and packets are kept only when their
+    stream address lands in ``(b*block_len, (b+1)*block_len]``.
+    """
+
+    n_audio: int
+    trim: int  # total FIR trim of the modem cascade (sum of taps-1)
+    block_len: int
+    overlap: int
+
+    @property
+    def n_demod(self) -> int:
+        return self.n_audio - self.trim
+
+    @property
+    def n_blocks(self) -> int:
+        return -(-self.n_demod // self.block_len)
+
+    @property
+    def block_input_len(self) -> int:
+        return self.block_len + self.overlap + self.trim
+
+    def keep_range(self, b: int) -> tuple[int, int]:
+        """(lo, hi]: stream addresses owned by block b (1-based addresses)."""
+        lo = b * self.block_len
+        return lo, min(lo + self.block_len, self.n_demod)
+
+
+def frame_blocks(audio: jax.Array, plan: BlockPlan) -> jax.Array:
+    """(n,) -> (n_blocks, block_input_len) overlapped block matrix.
+
+    Front-padded with ``overlap`` zeros (block 0's halo) and tail-padded to
+    fill the last block; tail packets are clipped by keep_range.
+    """
+    total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
+    padded = jnp.pad(audio, (plan.overlap, total - plan.overlap - plan.n_audio))
+    starts = np.arange(plan.n_blocks) * plan.block_len
+    idx = starts[:, None] + np.arange(plan.block_input_len)[None, :]
+    return jnp.take(padded, jnp.asarray(idx), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Bank grouping
+# ---------------------------------------------------------------------------
+
+
+def _tree_shapes(tree) -> tuple:
+    return tuple(
+        (tuple(np.shape(leaf)), str(np.asarray(leaf).dtype))
+        for leaf in jax.tree_util.tree_leaves(tree)
+    )
+
+
+@dataclass
+class Bank:
+    """A group of chains executable as one batched device program."""
+
+    kind: str  # modem family
+    specs: list[ChainSpec]
+    params: Any  # pytree with leading chain axis on every leaf
+    trim: int
+    slicer_kind: str
+    stream_poly: int
+    stream_invert: bool
+
+
+def _modem_trim(kind: str, p) -> int:
+    if kind == "afsk":
+        return (
+            (p.input_bpf.shape[-1] - 1)
+            + (p.mark_i.shape[-1] - 1)
+            + (p.output_lpf.shape[-1] - 1)
+        )
+    if kind == "afsk_pll":
+        return (p.input_bpf.shape[-1] - 1) + (p.output_lpf.shape[-1] - 1)
+    if kind in ("bpsk", "qpsk"):
+        return (p.input_bpf.shape[-1] - 1) + (p.rrc.shape[-1] - 1)
+    if kind == "mpsk":
+        return (
+            (p.input_bpf.shape[-1] - 1)
+            + (p.hilbert.shape[-1] - 1)
+            + (p.rrc.shape[-1] - 1)
+        )
+    if kind == "fsk":
+        return p.input_lpf.shape[-1] - 1
+    raise ValueError(kind)
+
+
+def _chain_device_params(chain: ChainSpec, dtype):
+    """Per-chain pytree of device arrays: modem + loop + slicer constants."""
+    mp = modems.build_params(chain.modem)
+    d: dict[str, Any] = {
+        "modem": jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype)
+            if np.asarray(a).dtype.kind == "f"
+            else jnp.asarray(a),
+            mp._asdict(),
+        )
+    }
+    spec = chain.modem
+    if chain.modem.kind in ("afsk_pll", "bpsk", "qpsk", "mpsk"):
+        d["loop"] = modems._loop_params(spec, dtype)._asdict()
+    if chain.modem.kind == "qpsk":
+        from ..dsp import window_design as wd
+
+        bb0, ba1 = wd.iir1_lpf_coefs(spec.sample_rate, spec.branch_lpf_cutoff, 1.0)
+        d["branch_b0"] = jnp.asarray(bb0, dtype)
+        d["branch_a1"] = jnp.asarray(ba1, dtype)
+    if chain.modem.kind == "mpsk":
+        d["pd_granularity"] = jnp.asarray(spec.pd_granularity, jnp.int32)
+    if chain.modem.kind == "fsk":
+        # invert as a sign multiplier so banks can mix inverted chains
+        d["modem"]["sign"] = jnp.asarray(-1.0 if spec.invert else 1.0, dtype)
+        del d["modem"]["invert"]
+    sl = chain.slicer
+    d["sps"] = jnp.asarray(sl.sample_rate / sl.symbol_rate, dtype)
+    d["lock_rate"] = jnp.asarray(sl.lock_rate, dtype)
+    if isinstance(sl, (QuadratureSlicerSpec, FourLevelSlicerSpec)):
+        d["demap"] = jnp.asarray(np.asarray(sl.demap, dtype=np.int32))
+    return d
+
+
+def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
+    """Group chains into banks keyed by their static structure."""
+    banks: dict[tuple, Bank] = {}
+    order: list[tuple] = []
+    for chain in chains:
+        params = _chain_device_params(chain, dtype)
+        poly = chain.stream.polynomial if chain.stream else 0
+        invert = bool(chain.stream.invert) if chain.stream else False
+        sl = chain.slicer
+        slicer_static = (
+            sl.kind,
+            getattr(sl, "bits_per_symbol", None),
+            getattr(sl, "state_mask", None),
+            getattr(sl, "demap", None),
+        )
+        key = (chain.modem.kind, _tree_shapes(params), slicer_static, poly, invert)
+        if key not in banks:
+            banks[key] = Bank(
+                kind=chain.modem.kind,
+                specs=[],
+                params=[],
+                trim=_modem_trim(chain.modem.kind, modems.build_params(chain.modem)),
+                slicer_kind=sl.kind,
+                stream_poly=poly,
+                stream_invert=invert,
+            )
+            order.append(key)
+        banks[key].specs.append(chain)
+        banks[key].params.append(params)
+    out = []
+    for key in order:
+        bank = banks[key]
+        bank.params = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *bank.params
+        )
+        out.append(bank)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-family block pipelines (single chain, batched over blocks)
+# ---------------------------------------------------------------------------
+
+
+def _mk(named_tuple_cls, d, fields):
+    return named_tuple_cls(**{k: d[k] for k in fields})
+
+
+def _agc_blocks(blocks, agc_d, unroll, normal):
+    per_block = partial(
+        agc_apply,
+        scaled_attack=agc_d.scaled_attack,
+        scaled_decay=agc_d.scaled_decay,
+        sustain_time=agc_d.sustain_time,
+        sustain_increment=agc_d.sustain_increment,
+        target_amplitude=agc_d.target,
+        unroll=unroll,
+        normal=normal,
+    )
+    return jax.vmap(per_block)(blocks)
+
+
+def _loop_from(d):
+    from ..dsp.loops import LoopParams
+
+    return LoopParams(**d["loop"])
+
+
+def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
+                 unroll: int):
+    """Demodulate (B, Lin) input blocks for ONE chain -> (B, Lout) baseband
+    (or an (i, q) pair).  Mirrors modems.demod stage order per family."""
+    m = params["modem"]
+    if kind == "afsk":
+        x = fir_valid_nd(blocks, m["input_bpf"], method)
+        mi = fir_valid_nd(x, m["mark_i"], method)
+        mq = fir_valid_nd(x, m["mark_q"], method)
+        si = fir_valid_nd(x, m["space_i"], method)
+        sq = fir_valid_nd(x, m["space_q"], method)
+        diff = jnp.sqrt(mi * mi + mq * mq) - jnp.sqrt(si * si + sq * sq)
+        return fir_valid_nd(diff, m["output_lpf"], method)
+    if kind == "fsk":
+        return fir_valid_nd(blocks, m["input_lpf"], method) * m["sign"]
+    # coherent families: BPF -> AGC (global max across blocks) -> loop
+    x = fir_valid_nd(blocks, m["input_bpf"], method)
+    normal = jnp.max(x)  # whole-recording signed max (agc.py:67)
+    x = _agc_blocks(x, m["agc"], unroll, normal)
+    if kind == "afsk_pll":
+        demod = jax.vmap(lambda row: afsk_pll(row, _loop_from(params), unroll=unroll))(x)
+        return fir_valid_nd(demod, m["output_lpf"], method)
+    if kind == "bpsk":
+        demod = jax.vmap(lambda row: bpsk_costas(row, _loop_from(params), unroll=unroll))(x)
+        return fir_valid_nd(demod, m["rrc"], method)
+    if kind == "qpsk":
+        from ..dsp.loops import QPSKLoopParams
+
+        loop = QPSKLoopParams(
+            base=_loop_from(params),
+            branch_b0=params["branch_b0"],
+            branch_a1=params["branch_a1"],
+        )
+        i_data, q_data = jax.vmap(lambda row: qpsk_costas(row, loop, unroll=unroll))(x)
+        return (
+            fir_valid_nd(i_data, m["rrc"], method),
+            fir_valid_nd(q_data, m["rrc"], method),
+        )
+    if kind == "mpsk":
+        from ..dsp.loops import MPSKLoopParams
+
+        imag = fir_valid_nd(x, m["hilbert"], method)
+        delay = (m["hilbert"].shape[-1] - 1) // 2
+        real = x[..., delay:-delay] if delay else x
+        loop = MPSKLoopParams(
+            base=_loop_from(params),
+            pd_table=m["pd_table"],
+            pd_granularity=params["pd_granularity"],
+        )
+        i_data, q_data = jax.vmap(
+            lambda re, im: mpsk_loop(re, im, loop, unroll=unroll)
+        )(real, imag)
+        return (
+            fir_valid_nd(i_data, m["rrc"], method),
+            fir_valid_nd(q_data, m["rrc"], method),
+        )
+    raise ValueError(kind)
+
+
+def slice_blocks(slicer_kind: str, params, baseband, capacity: int,
+                 unroll: int):
+    """Run the slicer over (B, L) baseband -> dense (B, cap) byte/addr arrays."""
+    if slicer_kind == "binary":
+        out = jax.vmap(
+            lambda row: binary_slice(row, params["sps"], params["lock_rate"], unroll=unroll)
+        )(baseband)
+    elif slicer_kind == "quadrature":
+        i_data, q_data = baseband
+        spec = params["slicer_static"]
+        out = jax.vmap(
+            lambda i, q: quadrature_slice(
+                i, q, params["sps"], params["lock_rate"], params["demap"],
+                spec["state_mask"], spec["bits_per_symbol"], unroll=unroll,
+            )
+        )(i_data, q_data)
+    elif slicer_kind == "4level":
+        out = jax.vmap(
+            lambda row: four_level_slice(
+                row, params["sps"], params["lock_rate"], params["demap"],
+                jnp.zeros((), row.dtype), unroll=unroll,
+            )
+        )(baseband)
+    else:
+        raise ValueError(slicer_kind)
+    return jax.vmap(lambda o: compact_bytes(o, capacity))(out)
+
+
+# ---------------------------------------------------------------------------
+# Bank runner
+# ---------------------------------------------------------------------------
+
+
+def _slicer_static(bank: Bank) -> dict:
+    sl = bank.specs[0].slicer
+    return {
+        "state_mask": getattr(sl, "state_mask", 0),
+        "bits_per_symbol": getattr(sl, "bits_per_symbol", 1),
+    }
+
+
+def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
+    sl = bank.specs[0].slicer
+    sps = sl.sample_rate / sl.symbol_rate
+    bps = getattr(sl, "bits_per_symbol", 2 if sl.kind == "4level" else 1)
+    nominal = (plan.block_len + plan.overlap) / sps * bps / 8.0
+    cap = int(nominal * 1.5) + 16
+    return -(-cap // 8) * 8
+
+
+@partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "poly",
+                                   "invert", "slicer_static_mask",
+                                   "slicer_static_bps", "method", "unroll"))
+def bank_device_step(kind: str, slicer_kind: str, params, blocks: jax.Array,
+                     capacity: int, poly: int, invert: bool,
+                     slicer_static_mask: int, slicer_static_bps: int,
+                     method: str = "direct", unroll: int = 8):
+    """One bank's full device program: blocks (B, Lin) -> per-chain packets'
+    raw material (C, B, cap) bytes + addresses + counts.
+
+    vmapped over the chain axis of ``params``; everything inside is batched
+    over the block axis.  Descrambling runs on device (feed-forward XOR).
+    """
+
+    def one_chain(chain_params):
+        chain_params = dict(chain_params)
+        chain_params["slicer_static"] = {
+            "state_mask": slicer_static_mask,
+            "bits_per_symbol": slicer_static_bps,
+        }
+        baseband = demod_blocks(kind, chain_params, blocks, method, unroll)
+        data, addr, count = slice_blocks(
+            slicer_kind, chain_params, baseband, capacity, unroll
+        )
+        if poly not in (0, 1) or invert:
+            data = descramble_bytes(data.astype(jnp.uint8), poly, invert)
+        return data, addr, count
+
+    return jax.vmap(one_chain)(params)
+
+
+def default_block_plan(n_audio: int, trim: int, sample_rate: float,
+                       block_seconds: float = 16.0,
+                       overlap_seconds: float = 6.0) -> BlockPlan:
+    """Pick a block layout.  ``overlap`` must cover loop acquisition plus the
+    longest expected packet duration (SURVEY.md section 7 'hard parts')."""
+    block_len = max(int(block_seconds * sample_rate), 1)
+    overlap = int(overlap_seconds * sample_rate)
+    n_demod = n_audio - trim
+    if block_len >= n_demod:
+        return BlockPlan(n_audio, trim, max(n_demod, 1), 0)
+    return BlockPlan(n_audio, trim, block_len, overlap)
+
+
+def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
+               block_seconds: float = 16.0, overlap_seconds: float = 6.0,
+               method: str = "direct", unroll: int = 8):
+    """Run a full chain list via banked block-parallel device programs.
+
+    Returns {chain_name: list[Packet]} with per-block keep-region filtering
+    applied (each packet attributed to exactly one block).
+    """
+    from ..codecs.host import ax25_decode_host, il2p_decode_host
+    from ..config import AX25CodecSpec, IL2PCodecSpec
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    audio = np.asarray(audio)
+    results: dict[str, list] = {}
+    for bank in group_chains(chains, dtype):
+        sample_rate = bank.specs[0].modem.sample_rate
+        plan = default_block_plan(
+            len(audio), bank.trim, sample_rate, block_seconds, overlap_seconds
+        )
+        blocks = frame_blocks(jnp.asarray(audio, dtype), plan)
+        st = _slicer_static(bank)
+        cap = bank_capacity(bank, plan)
+        data, addr, count = bank_device_step(
+            bank.kind, bank.slicer_kind, bank.params, blocks, cap,
+            bank.stream_poly, bank.stream_invert,
+            st["state_mask"], st["bits_per_symbol"], method, unroll,
+        )
+        data = np.asarray(data)
+        addr = np.asarray(addr)
+        count = np.asarray(count)
+        for ci, chain in enumerate(bank.specs):
+            packets = []
+            for b in range(plan.n_blocks):
+                n = int(count[ci, b])
+                if n == 0:
+                    continue
+                block_bytes = data[ci, b, :n].astype(np.int64)
+                # addresses are 1-based within the block's demod range,
+                # which starts at absolute index b*block_len - overlap.
+                offset = b * plan.block_len - plan.overlap
+                block_addr = addr[ci, b, :n].astype(np.int64) + offset
+                codec = chain.codec
+                if isinstance(codec, AX25CodecSpec):
+                    pkts = ax25_decode_host(
+                        block_bytes, block_addr, codec.ident,
+                        min_packet_length=codec.min_packet_length,
+                        max_packet_length=codec.max_packet_length,
+                    )
+                elif isinstance(codec, IL2PCodecSpec):
+                    pkts = il2p_decode_host(
+                        block_bytes, block_addr, codec.ident,
+                        collect_trailing_crc=codec.collect_trailing_crc,
+                        disable_rs=codec.disable_rs,
+                        min_distance=codec.min_distance,
+                        sync_tolerance=codec.sync_tolerance,
+                    )
+                else:
+                    raise ValueError(type(codec))
+                lo, hi = plan.keep_range(b)
+                packets.extend(
+                    p for p in pkts if lo < p.streamaddress <= hi
+                )
+            # Drop block-boundary duplicates: a packet ending within one
+            # byte-phase quantum of a block edge can be claimed by both
+            # neighbouring blocks under different reported addresses.
+            sl = chain.slicer
+            window = 16.0 * sl.sample_rate / sl.symbol_rate
+            packets.sort(key=lambda p: p.streamaddress)
+            deduped = []
+            for p in packets:
+                if (
+                    deduped
+                    and list(p.data) == list(deduped[-1].data)
+                    and p.streamaddress - deduped[-1].streamaddress < window
+                ):
+                    continue
+                deduped.append(p)
+            results[chain.name] = deduped
+    return results
+
+
+def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
+                    block_seconds: float = 16.0, overlap_seconds: float = 6.0,
+                    method: str = "direct", unroll: int = 8):
+    """Banked analog of executor.run_plan: full plan -> aggregated report.
+
+    Chain order in the aggregate follows the config file (deterministic),
+    unlike the reference's process-completion order (pymodem.py:158-163).
+    """
+    from ..packets import PacketAggregate
+    from .executor import RunResult
+
+    by_name = run_banked(
+        plan.chains, audio, dtype=dtype, block_seconds=block_seconds,
+        overlap_seconds=overlap_seconds, method=method, unroll=unroll,
+    )
+    aggregate = PacketAggregate()
+    for chain in plan.chains:
+        aggregate.add(by_name.get(chain.name, []))
+    aggregate.validate_all()
+    # Cross-chain dedup window: the reference's rate/40 (pymodem.py:175)
+    # widened by two byte-phase quanta -- block slicers restart their byte
+    # counter per block, so the same packet's reported address differs by up
+    # to 8 symbol periods per chain.
+    max_sps = max(
+        (c.slicer.sample_rate / c.slicer.symbol_rate for c in plan.chains),
+        default=1.0,
+    )
+    aggregate.correlate(address_distance=sample_rate / 40 + 16 * max_sps)
+    reports = [
+        aggregate.render_raw_bad() + aggregate.render_report(r.style)
+        for r in plan.reports
+    ]
+    return RunResult(aggregate=aggregate, reports=reports)

@@ -1,0 +1,74 @@
+"""Banked block-parallel runtime: parity with the sequential executor.
+
+The banked path (runtime/bank.py) must reproduce the sequential golden
+packet sets on the fixture WAV: identical CRC sequences, addresses within
+the correlation window plus one byte-phase quantum (block slicers count
+byte boundaries from the block start, so reported addresses may shift by
+up to 7 symbol periods; both codecs are bit-serial so packets themselves
+are unaffected -- see runtime/bank.py docstring).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pymodem_tpu.config import load_plan
+from pymodem_tpu.runtime.bank import (
+    BlockPlan,
+    default_block_plan,
+    frame_blocks,
+    run_plan_banked,
+)
+
+from golden_afsk300 import GOLDEN_5CHAIN, GOLDEN_PLL
+
+CONFIG_DIR = "/root/reference/configs"
+
+
+def test_block_plan_covers_stream():
+    plan = BlockPlan(n_audio=100_000, trim=500, block_len=16_000, overlap=4_000)
+    assert plan.n_demod == 99_500
+    ranges = [plan.keep_range(b) for b in range(plan.n_blocks)]
+    # keep ranges tile (0, n_demod] exactly
+    assert ranges[0][0] == 0
+    assert ranges[-1][1] == plan.n_demod
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi == lo
+
+
+def test_frame_blocks_alignment():
+    import jax.numpy as jnp
+
+    audio = np.arange(1, 50_001, dtype=np.float64)
+    plan = BlockPlan(n_audio=50_000, trim=100, block_len=10_000, overlap=2_000)
+    blocks = np.asarray(frame_blocks(jnp.asarray(audio), plan))
+    assert blocks.shape == (plan.n_blocks, plan.block_input_len)
+    # block b, position k holds audio[b*block_len - overlap + k] (zero pad)
+    assert blocks[0, 0] == 0.0  # front halo
+    assert blocks[0, plan.overlap] == audio[0]
+    assert blocks[1, 0] == audio[plan.block_len - plan.overlap]
+    assert blocks[2, plan.overlap] == audio[2 * plan.block_len]
+
+
+@pytest.mark.parametrize(
+    "config,golden",
+    [("afsk_300_pll.json", GOLDEN_PLL), ("afsk_300.json", GOLDEN_5CHAIN)],
+    ids=["pll_2chain", "mixed_5chain"],
+)
+def test_banked_decode_parity(fixture_audio, config, golden):
+    path = os.path.join(CONFIG_DIR, config)
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    result = run_plan_banked(plan, audio, rate)
+    ours = [
+        (p.streamaddress, p.calculated_crc)
+        for p in result.aggregate.unique
+        if p.valid_crc and p.valid_header
+    ]
+    assert [crc for _, crc in ours] == [crc for _, crc in golden]
+    window = rate / 40 + 8 * (8000 / 300)  # dedup window + byte-phase shift
+    for (addr, _), (gold_addr, _) in zip(ours, golden):
+        assert abs(addr - gold_addr) < window
