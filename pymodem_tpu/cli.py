@@ -31,6 +31,10 @@ def main(argv=None) -> int:
         # tests/conftest.py); config.update is the reliable override.
         jax.config.update("jax_platforms", platform)
 
+    from .runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .config import load_plan
     from .runtime.executor import run_plan
     from .wav_io import read_wav

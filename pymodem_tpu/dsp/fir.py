@@ -35,8 +35,11 @@ def fir_valid(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
     n = x.shape[-1]
     t = taps.shape[-1]
     if method == "auto":
-        # FFT wins once taps are long and the dtype is 32-bit (TPU path).
-        method = "fft" if (t > 64 and x.dtype != jnp.float64) else "direct"
+        # f64 (CPU parity) -> direct, matching numpy.convolve bit-for-bit.
+        # Otherwise FFT: on this TPU XLA's direct conv lowering takes minutes
+        # to *compile* for long signals, while the rfft path compiles in
+        # seconds and runs at HBM roofline.
+        method = "direct" if x.dtype == jnp.float64 else "fft"
     if method == "direct":
         return jnp.convolve(x, taps, mode="valid")
     # Full-size FFT convolution (rfft), trimmed to 'valid'.
@@ -58,7 +61,7 @@ def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Arr
     n = x.shape[-1]
     t = taps.shape[-1]
     if method == "auto":
-        method = "fft" if (t > 64 and x.dtype != jnp.float64) else "direct"
+        method = "direct" if x.dtype == jnp.float64 else "fft"
     if method == "direct":
         batch = x.shape[:-1]
         lhs = x.reshape(-1, 1, n)  # (N, C=1, W)
@@ -72,6 +75,29 @@ def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Arr
     fx = jnp.fft.rfft(x, m)
     fh = jnp.fft.rfft(taps, m)
     full = jnp.fft.irfft(fx * fh, m)[..., : n + t - 1]
+    return full[..., t - 1 : n].astype(x.dtype)
+
+
+def fir_valid_multi(x: jax.Array, taps_stack: jax.Array,
+                    method: str = "auto") -> jax.Array:
+    """Valid convolution of one signal with K tap sets sharing one FFT pass.
+
+    x: (..., n); taps_stack: (K, t) -> (K, ..., n-t+1).  In ``fft`` mode the
+    signal spectrum is computed once and multiplied by all K tap spectra
+    (the AFSK mark/space correlator quad shares one rfft); ``direct`` falls
+    back to per-tap convolution.
+    """
+    k, t = taps_stack.shape
+    n = x.shape[-1]
+    if method == "auto":
+        method = "direct" if x.dtype == jnp.float64 else "fft"
+    if method == "direct":
+        return jnp.stack([fir_valid_nd(x, taps_stack[i], method) for i in range(k)])
+    m = _next_pow2(n + t - 1)
+    fx = jnp.fft.rfft(x, m)  # (..., F)
+    fh = jnp.fft.rfft(taps_stack, m)  # (K, F)
+    fh = fh.reshape((k,) + (1,) * (x.ndim - 1) + (-1,))
+    full = jnp.fft.irfft(fx[None] * fh, m)[..., : n + t - 1]
     return full[..., t - 1 : n].astype(x.dtype)
 
 

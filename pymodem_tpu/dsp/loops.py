@@ -59,13 +59,26 @@ def _wrap_phase(p: jax.Array) -> jax.Array:
 
 
 def _nco_step(phase, control, params: LoopParams):
-    """One NCO update; returns (new_phase, sine, cosine) (nco.py:34-53)."""
+    """One NCO update; returns (new_phase, sine, cosine) (nco.py:34-53).
+
+    The reference looks the quantized phase up in a 256-entry table whose
+    entries are exactly ``sin(2*pi*i/size)`` (amplitude is 1.0 in every
+    modem, e.g. psk.py:87).  float64 keeps the table gather for bit parity
+    with the reference; other dtypes compute sin/cos of the *quantized*
+    index directly -- the same quantization semantics, but on TPU a
+    transcendental is ~400x cheaper inside a scan than a per-step gather.
+    """
     size = params.wavetable.shape[-1]
     phase = _wrap_phase(phase + params.phase_scale * (params.set_frequency + control))
     sine_idx = (phase * params.index_scale).astype(jnp.int32)  # trunc == floor, phase >= 0
-    cos_idx = jnp.remainder(sine_idx + size // 4, size)
-    sine = jnp.take(params.wavetable, sine_idx, axis=-1)
-    cosine = jnp.take(params.wavetable, cos_idx, axis=-1)
+    if phase.dtype == jnp.float64:
+        cos_idx = jnp.remainder(sine_idx + size // 4, size)
+        sine = jnp.take(params.wavetable, sine_idx, axis=-1)
+        cosine = jnp.take(params.wavetable, cos_idx, axis=-1)
+    else:
+        angle = sine_idx.astype(phase.dtype) * jnp.asarray(TWO_PI / size, phase.dtype)
+        sine = jnp.sin(angle)
+        cosine = jnp.cos(angle)
     return phase, sine, cosine
 
 

@@ -51,7 +51,7 @@ from ..config import (
     QuadratureSlicerSpec,
 )
 from ..dsp.agc import agc_apply
-from ..dsp.fir import fir_valid_nd
+from ..dsp.fir import fir_valid_multi, fir_valid_nd
 from ..dsp.loops import afsk_pll, bpsk_costas, mpsk_loop, qpsk_costas
 from ..ops.lfsr import descramble_bytes
 from ..ops.slicers import (
@@ -271,10 +271,8 @@ def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
     m = params["modem"]
     if kind == "afsk":
         x = fir_valid_nd(blocks, m["input_bpf"], method)
-        mi = fir_valid_nd(x, m["mark_i"], method)
-        mq = fir_valid_nd(x, m["mark_q"], method)
-        si = fir_valid_nd(x, m["space_i"], method)
-        sq = fir_valid_nd(x, m["space_q"], method)
+        corr = jnp.stack([m["mark_i"], m["mark_q"], m["space_i"], m["space_q"]])
+        mi, mq, si, sq = fir_valid_multi(x, corr, method)
         diff = jnp.sqrt(mi * mi + mq * mq) - jnp.sqrt(si * si + sq * sq)
         return fir_valid_nd(diff, m["output_lpf"], method)
     if kind == "fsk":
@@ -379,7 +377,7 @@ def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
 def bank_device_step(kind: str, slicer_kind: str, params, blocks: jax.Array,
                      capacity: int, poly: int, invert: bool,
                      slicer_static_mask: int, slicer_static_bps: int,
-                     method: str = "direct", unroll: int = 8):
+                     method: str = "auto", unroll: int = 8):
     """One bank's full device program: blocks (B, Lin) -> per-chain packets'
     raw material (C, B, cap) bytes + addresses + counts.
 
@@ -419,7 +417,7 @@ def default_block_plan(n_audio: int, trim: int, sample_rate: float,
 
 def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                block_seconds: float = 16.0, overlap_seconds: float = 6.0,
-               method: str = "direct", unroll: int = 8):
+               method: str = "auto", unroll: int = 8):
     """Run a full chain list via banked block-parallel device programs.
 
     Returns {chain_name: list[Packet]} with per-block keep-region filtering
@@ -501,7 +499,7 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
 
 def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
                     block_seconds: float = 16.0, overlap_seconds: float = 6.0,
-                    method: str = "direct", unroll: int = 8):
+                    method: str = "auto", unroll: int = 8):
     """Banked analog of executor.run_plan: full plan -> aggregated report.
 
     Chain order in the aggregate follows the config file (deterministic),
