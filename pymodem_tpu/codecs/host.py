@@ -283,99 +283,176 @@ class Il2pDecoder:
         self.bytes_corrected = 0
         self.phase = "sync"
 
-    def decode(self, data: np.ndarray, addresses: np.ndarray) -> list[Packet]:
+    @staticmethod
+    def _word_at(bits: np.ndarray, i: int) -> int:
+        """32-bit sliding-window value ending at bit i (pure bits, i >= 31)."""
+        word = 0
+        for b in bits[i - 31 : i + 1]:
+            word = (word << 1) | int(b)
+        return word
+
+    @staticmethod
+    def _find_sync(bits: np.ndarray, start: int, word: int,
+                   tolerance: int) -> tuple[int, int] | None:
+        """First bit index >= start where the sliding 32-bit word matches a
+        syncword, plus the word value there; None if no match.
+
+        The first 32 positions evolve the caller's carried word serially
+        (its history -- seed 0xFFFFFF at stream start, or the last collected
+        byte after a packet/abort -- still occupies the high bits, exactly
+        as il2p.py:367-376).  Beyond 32 bits the word is a pure function of
+        the bit stream, so matches are found with vectorized popcounts.
+        """
+        n = len(bits)
+        for i in range(start, min(start + 32, n)):
+            word = ((word << 1) | int(bits[i])) & 0xFFFFFFFF
+            if (
+                _popcount32((word & 0xFFFFFF) ^ SYNC24) <= tolerance
+                or _popcount32(word ^ SYNC32) <= tolerance
+            ):
+                return i, word
+        base = start + 32
+        if base >= n:
+            return None
+        m = n - base
+        v = np.zeros(m, dtype=np.uint64)
+        for k in range(32):
+            v = (v << np.uint64(1)) | bits[base - 31 + k : base - 31 + k + m]
+        d24 = np.bitwise_count((v & np.uint64(0xFFFFFF)) ^ np.uint64(SYNC24))
+        d32 = np.bitwise_count(v ^ np.uint64(SYNC32))
+        hits = np.flatnonzero((d24 <= tolerance) | (d32 <= tolerance))
+        if hits.size == 0:
+            return None
+        idx = int(hits[0])
+        return base + idx, int(v[idx])
+
+    def _find_sync_from_candidates(self, bits: np.ndarray, start: int,
+                                   word: int) -> tuple[int, int] | None:
+        """Like _find_sync but jumps through device-precomputed candidate
+        indices (ops/sync.py) instead of rescanning on host."""
+        n = len(bits)
+        for i in range(start, min(start + 32, n)):
+            word = ((word << 1) | int(bits[i])) & 0xFFFFFFFF
+            if (
+                _popcount32((word & 0xFFFFFF) ^ SYNC24) <= self.sync_tolerance
+                or _popcount32(word ^ SYNC32) <= self.sync_tolerance
+            ):
+                return i, word
+        pos = np.searchsorted(self.sync_candidates, start + 32)
+        if pos >= len(self.sync_candidates):
+            return None
+        i = int(self.sync_candidates[pos])
+        return i, self._word_at(bits, i)
+
+    def _collect(self, bits: np.ndarray, pos: int, count: int) -> int | None:
+        """Collect ``count`` bytes from the bit stream into self.buffer;
+        returns the new bit position or None if the stream ends first."""
+        end = pos + 8 * count
+        if end > len(bits):
+            return None
+        self.buffer = [int(b) for b in np.packbits(bits[pos:end])]
+        return end
+
+    def decode(self, data: np.ndarray, addresses: np.ndarray,
+               sync_candidates: np.ndarray | None = None) -> list[Packet]:
+        """Decode a byte stream; sync-search is vectorized (the FSM only runs
+        from candidate sync positions), byte collection is array slicing.
+        Behaviourally identical to the reference's per-bit FSM
+        (il2p.py:360-519); asserted bit-exact in tests/test_codec_differential.
+
+        ``sync_candidates``: optional sorted bit indices (>= 32) where the
+        history-free 32-bit window matches a syncword, e.g. from the device
+        scan in ops/sync.py; skips the host-side rescan entirely.
+        """
+        data = np.asarray(data).astype(np.uint8)
+        addresses = np.asarray(addresses)
+        bits = np.unpackbits(data).astype(np.uint64)
+        n = len(bits)
+        self.sync_candidates = (
+            None if sync_candidates is None else np.asarray(sync_candidates)
+        )
         packets: list[Packet] = []
-        for value, address in zip(np.asarray(data), np.asarray(addresses)):
-            value = int(value)
-            address = int(address)
-            for bit_pos in range(7, -1, -1):
-                bit = (value >> bit_pos) & 1
-                if self.phase == "sync":
-                    self.word = ((self.word << 1) | bit) & 0xFFFFFFFF
-                    if (
-                        _popcount32((self.word & 0xFFFFFF) ^ SYNC24)
-                        <= self.sync_tolerance
-                        or _popcount32(self.word ^ SYNC32) <= self.sync_tolerance
-                    ):
-                        self.phase = "header"
-                        self.buffer = []
-                        self.bit_count = 0
-                    continue
-                # byte-collection phases share an 8-bit shifting word
-                self.word = ((self.word << 1) | bit) & 0xFF
-                self.bit_count += 1
-                if self.bit_count < 8:
-                    continue
-                self.bit_count = 0
-                self.buffer.append(self.word)
-                if self.phase == "header" and len(self.buffer) == 15:
-                    fail = self._rs_decode(rs_ops.RS_HEADER)
-                    self._descramble(13)
-                    header = parse_il2p_header(self.buffer)
-                    self.packet_data = synthesize_ax25_header(header)
-                    if fail:
-                        self._fail()
-                    elif header.count > 0:
-                        self.block_count, self.block_size, self.big_blocks = (
-                            block_layout(header.count)
-                        )
-                        self.block_index = 0
-                        if self.big_blocks > 0:
-                            self.block_size += 1
-                            self.phase = "big"
-                        else:
-                            self.phase = "small"
-                        self.buffer = []
-                    else:
-                        if self.collect_crc:
-                            self.phase = "crc"
-                            self.buffer = []
-                        else:
-                            np_append_crc(self.packet_data)
-                            self._finish_packet(packets, address)
-                elif self.phase in ("big", "small") and len(self.buffer) == (
-                    self.block_size + 16
-                ):
+        pos = 0
+        word = self.word
+        while pos < n:
+            if self.sync_candidates is not None:
+                found = self._find_sync_from_candidates(bits, pos, word)
+            else:
+                found = self._find_sync(bits, pos, word, self.sync_tolerance)
+            if found is None:
+                break
+            pos, word = found
+            pos += 1
+            self.packet_data = []
+            self.bytes_corrected = 0
+            # --- header: 15 bytes = 13 + 2 RS parity (il2p.py:377-432)
+            nxt = self._collect(bits, pos, 15)
+            if nxt is None:
+                break
+            pos = nxt
+            word = self.buffer[-1]  # raw last byte: the 8-bit rx word state
+            fail = self._rs_decode(rs_ops.RS_HEADER)
+            self._descramble(13)
+            header = parse_il2p_header(self.buffer)
+            self.packet_data = synthesize_ax25_header(header)
+            if fail:
+                continue
+            if header.count > 0:
+                block_count, block_size, big_blocks = block_layout(header.count)
+                sizes = [block_size + 1] * big_blocks
+                sizes += [block_size] * (block_count - big_blocks)
+                failed = False
+                for size in sizes:
+                    nxt = self._collect(bits, pos, size + 16)
+                    if nxt is None:
+                        break
+                    pos = nxt
+                    word = self.buffer[-1]
                     fail = self._rs_decode(rs_ops.RS_BLOCK)
-                    self._descramble(self.block_size)
-                    self.packet_data.extend(self.buffer[: self.block_size])
-                    self.block_index += 1
-                    self.buffer = []
+                    self._descramble(size)
+                    self.packet_data.extend(self.buffer[:size])
                     if fail:
-                        self._fail()
-                    elif self.phase == "big" and self.block_index == self.big_blocks:
-                        if self.block_count > self.block_index:
-                            self.block_size -= 1
-                            self.phase = "small"
-                        elif self.collect_crc:
-                            self.phase = "crc"
-                        else:
-                            np_append_crc(self.packet_data)
-                            self._finish_packet(packets, address)
-                    elif self.phase == "small" and self.block_index == self.block_count:
-                        if self.collect_crc:
-                            self.phase = "crc"
-                        else:
-                            np_append_crc(self.packet_data)
-                            self._finish_packet(packets, address)
-                elif self.phase == "crc" and len(self.buffer) == 4:
-                    crc16 = 0
-                    for i in range(4):
-                        crc16 |= hamming74_decode(self.buffer[i]) << (12 - 4 * i)
-                    self.packet_data.append(crc16 & 0xFF)
-                    self.packet_data.append(crc16 >> 8)
-                    self._finish_packet(packets, address)
-                    self.buffer = []
+                        failed = True
+                        break
+                else:
+                    failed = False
+                if nxt is None:
+                    break
+                if failed:
+                    continue
+            if self.collect_crc:
+                nxt = self._collect(bits, pos, 4)
+                if nxt is None:
+                    break
+                pos = nxt
+                word = self.buffer[-1]
+                crc16 = 0
+                for i in range(4):
+                    crc16 |= hamming74_decode(self.buffer[i]) << (12 - 4 * i)
+                self.packet_data.append(crc16 & 0xFF)
+                self.packet_data.append(crc16 >> 8)
+            else:
+                np_append_crc(self.packet_data)
+            packets.append(
+                Packet(
+                    data=self.packet_data,
+                    streamaddress=int(addresses[(pos - 1) // 8]),
+                    source_decoder=self.ident,
+                    bytes_corrected=self.bytes_corrected,
+                )
+            )
+            self.packet_data = []
         return packets
 
 
 def il2p_decode_host(data: np.ndarray, addresses: np.ndarray, ident,
                      collect_trailing_crc=True, disable_rs=False,
-                     min_distance=0, sync_tolerance=0) -> list[Packet]:
+                     min_distance=0, sync_tolerance=0,
+                     sync_candidates: np.ndarray | None = None) -> list[Packet]:
     return Il2pDecoder(
         ident,
         collect_trailing_crc=collect_trailing_crc,
         disable_rs=disable_rs,
         min_distance=min_distance,
         sync_tolerance=sync_tolerance,
-    ).decode(data, addresses)
+    ).decode(data, addresses, sync_candidates=sync_candidates)

@@ -373,17 +373,22 @@ def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
 
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "poly",
                                    "invert", "slicer_static_mask",
-                                   "slicer_static_bps", "method", "unroll"))
+                                   "slicer_static_bps", "sync_tolerance",
+                                   "method", "unroll"))
 def bank_device_step(kind: str, slicer_kind: str, params, blocks: jax.Array,
                      capacity: int, poly: int, invert: bool,
                      slicer_static_mask: int, slicer_static_bps: int,
+                     sync_tolerance: int = 0,
                      method: str = "auto", unroll: int = 8):
     """One bank's full device program: blocks (B, Lin) -> per-chain packets'
-    raw material (C, B, cap) bytes + addresses + counts.
+    raw material (C, B, cap) bytes + addresses + counts + IL2P syncword
+    candidate map (C, B, cap*8).
 
     vmapped over the chain axis of ``params``; everything inside is batched
-    over the block axis.  Descrambling runs on device (feed-forward XOR).
+    over the block axis.  Descrambling and syncword scanning run on device;
+    the host FSM only touches candidate positions.
     """
+    from ..ops.sync import il2p_sync_candidates
 
     def one_chain(chain_params):
         chain_params = dict(chain_params)
@@ -397,7 +402,8 @@ def bank_device_step(kind: str, slicer_kind: str, params, blocks: jax.Array,
         )
         if poly not in (0, 1) or invert:
             data = descramble_bytes(data.astype(jnp.uint8), poly, invert)
-        return data, addr, count
+        sync = il2p_sync_candidates(data.astype(jnp.uint8), sync_tolerance)
+        return data, addr, count, sync
 
     return jax.vmap(one_chain)(params)
 
@@ -438,14 +444,23 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
         blocks = frame_blocks(jnp.asarray(audio, dtype), plan)
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
-        data, addr, count = bank_device_step(
+        sync_tol = max(
+            (
+                getattr(c.codec, "sync_tolerance", 0)
+                for c in bank.specs
+                if isinstance(c.codec, IL2PCodecSpec)
+            ),
+            default=0,
+        )
+        data, addr, count, sync = bank_device_step(
             bank.kind, bank.slicer_kind, bank.params, blocks, cap,
             bank.stream_poly, bank.stream_invert,
-            st["state_mask"], st["bits_per_symbol"], method, unroll,
+            st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
         )
         data = np.asarray(data)
         addr = np.asarray(addr)
         count = np.asarray(count)
+        sync = np.asarray(sync)
         for ci, chain in enumerate(bank.specs):
             packets = []
             for b in range(plan.n_blocks):
@@ -465,12 +480,14 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                         max_packet_length=codec.max_packet_length,
                     )
                 elif isinstance(codec, IL2PCodecSpec):
+                    candidates = np.flatnonzero(sync[ci, b, : n * 8])
                     pkts = il2p_decode_host(
                         block_bytes, block_addr, codec.ident,
                         collect_trailing_crc=codec.collect_trailing_crc,
                         disable_rs=codec.disable_rs,
                         min_distance=codec.min_distance,
                         sync_tolerance=codec.sync_tolerance,
+                        sync_candidates=candidates,
                     )
                 else:
                     raise ValueError(type(codec))

@@ -113,3 +113,52 @@ def test_il2p_differential_frames(reference, rng, crc):
     ours = il2p_decode_host(data, addresses, "ref", collect_trailing_crc=crc)
     refs = _ref_il2p(reference, data, addresses, crc=crc)
     _assert_same(ours, refs)
+
+
+def test_il2p_sync_candidates_device(rng):
+    """Device sync scan == host window scan (pure-bit positions)."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.codecs.host import SYNC24, SYNC32, Il2pDecoder
+    from pymodem_tpu.ops.sync import il2p_sync_candidates
+
+    data = rng.integers(0, 256, size=2000, dtype=np.uint8)
+    # embed both syncwords
+    data[500:503] = [0xF1, 0x5E, 0x48]
+    data[1200:1204] = [0x5D, 0x57, 0xDF, 0x7F]
+    cand = np.asarray(il2p_sync_candidates(jnp.asarray(data), 0))
+    bits = np.unpackbits(data).astype(np.uint64)
+    n = len(bits)
+    expect = np.zeros(n, dtype=bool)
+    word = 0
+    for i in range(n):
+        word = ((word << 1) | int(bits[i])) & 0xFFFFFFFF
+        if (
+            bin((word & 0xFFFFFF) ^ SYNC24).count("1") == 0
+            or bin(word ^ SYNC32).count("1") == 0
+        ):
+            expect[i] = True
+    assert np.array_equal(cand, expect)
+
+
+def test_il2p_candidates_path_matches_rescan(reference, rng):
+    """decode() with device candidates == decode() with host rescan."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.ops.sync import il2p_sync_candidates
+
+    chunks = []
+    for _ in range(20):
+        chunks.append(rng.integers(0, 256, size=60, dtype=np.int64))
+        chunks.append(np.array([0xF1, 0x5E, 0x48], dtype=np.int64))
+        chunks.append(rng.integers(0, 256, size=60, dtype=np.int64))
+    data = np.concatenate(chunks)
+    addresses = np.arange(1, len(data) + 1, dtype=np.int64)
+    cand = np.flatnonzero(
+        np.asarray(il2p_sync_candidates(jnp.asarray(data.astype(np.uint8)), 0))
+    )
+    with_cand = il2p_decode_host(data, addresses, "x", sync_candidates=cand)
+    without = il2p_decode_host(data, addresses, "x")
+    refs = _ref_il2p(reference, data, addresses)
+    _assert_same(with_cand, refs)
+    _assert_same(without, refs)
