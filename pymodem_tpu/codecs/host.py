@@ -445,6 +445,26 @@ class Il2pDecoder:
         return packets
 
 
+def il2p_seeded_sync_possible(first_bytes: np.ndarray, tolerance: int = 0) -> bool:
+    """Whether the seeded 0xFFFFFF word can sync within the first 32 bits.
+
+    The device candidate map (ops/sync.py) is a pure function of the bits;
+    the only matches it can miss are in a stream's first 32 bits where the
+    decoder's initial word still occupies the window.  This 32-step check
+    closes that gap so empty-candidate blocks can be skipped exactly.
+    """
+    word = 0xFFFFFF
+    for byte in np.asarray(first_bytes[:4], dtype=np.int64):
+        for k in range(7, -1, -1):
+            word = ((word << 1) | ((int(byte) >> k) & 1)) & 0xFFFFFFFF
+            if (
+                _popcount32((word & 0xFFFFFF) ^ SYNC24) <= tolerance
+                or _popcount32(word ^ SYNC32) <= tolerance
+            ):
+                return True
+    return False
+
+
 def il2p_decode_host(data: np.ndarray, addresses: np.ndarray, ident,
                      collect_trailing_crc=True, disable_rs=False,
                      min_distance=0, sync_tolerance=0,

@@ -7,12 +7,13 @@ the stream by ``len(taps) - 1`` samples; stream addresses downstream count the
 
 Two execution strategies:
 
-* ``direct``: jnp.convolve / conv_general_dilated -- best for short taps and
-  for float64 CPU parity runs.
-* ``fft``: overlap-free full FFT convolution -- best on TPU for long inputs,
-  where the MXU/VPU cost of direct convolution with hundreds of taps exceeds
-  a pair of FFTs.  (A Pallas overlap-save kernel can slot in behind the same
-  interface later.)
+* ``direct``: jnp.convolve / conv_general_dilated -- float64 CPU parity runs
+  (bit-identical summation order to numpy.convolve).
+* ``fft``: overlap-save convolution with short FFTs (size ~4x taps): the
+  signal is framed into hops of ``F - T + 1`` samples, each frame convolved
+  in the frequency domain, wrap-around regions discarded.  Memory stays
+  ~2.4x the signal regardless of length (a full-length FFT of a long block
+  padded to a power of two OOMs HBM and is FLOP-wasteful).
 """
 
 from __future__ import annotations
@@ -24,6 +25,29 @@ import numpy as np
 
 def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
+
+
+def _os_frame(x: jax.Array, t: int) -> tuple[jax.Array, int, int]:
+    """Frame (..., n) for overlap-save with tap count t.
+
+    Returns (frames (..., nf, F), F, nout); frame k holds input
+    [k*H, k*H + F) zero-padded at the tail, H = F - t + 1.
+    """
+    n = x.shape[-1]
+    nout = n - t + 1
+    fft_size = _next_pow2(max(4 * t, 512))
+    hop = fft_size - t + 1
+    nf = -(-nout // hop)
+    pad = nf * hop + t - 1 - n
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(pad, 0))])
+    # iota-built gather indices: an np constant would be baked into the
+    # executable as a multi-MB literal and dominate program-load time
+    idx = (
+        jnp.arange(nf, dtype=jnp.int32)[:, None] * hop
+        + jnp.arange(fft_size, dtype=jnp.int32)[None, :]
+    )
+    frames = jnp.take(xp, idx, axis=-1)
+    return frames, fft_size, nout
 
 
 def fir_valid(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
@@ -42,12 +66,7 @@ def fir_valid(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
         method = "direct" if x.dtype == jnp.float64 else "fft"
     if method == "direct":
         return jnp.convolve(x, taps, mode="valid")
-    # Full-size FFT convolution (rfft), trimmed to 'valid'.
-    m = _next_pow2(n + t - 1)
-    fx = jnp.fft.rfft(x, m)
-    fh = jnp.fft.rfft(taps, m)
-    full = jnp.fft.irfft(fx * fh, m)[: n + t - 1]
-    return full[t - 1 : n].astype(x.dtype)
+    return fir_valid_nd(x, taps, "fft")
 
 
 def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
@@ -71,11 +90,13 @@ def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Arr
             dimension_numbers=("NCH", "OIH", "NCH"),
         )
         return out.reshape(*batch, n - t + 1)
-    m = _next_pow2(n + t - 1)
-    fx = jnp.fft.rfft(x, m)
-    fh = jnp.fft.rfft(taps, m)
-    full = jnp.fft.irfft(fx * fh, m)[..., : n + t - 1]
-    return full[..., t - 1 : n].astype(x.dtype)
+    frames, fft_size, nout = _os_frame(x, t)
+    hop = fft_size - t + 1
+    fx = jnp.fft.rfft(frames, fft_size)
+    fh = jnp.fft.rfft(taps, fft_size)
+    seg = jnp.fft.irfft(fx * fh, fft_size)[..., t - 1 : t - 1 + hop]
+    out = seg.reshape(*x.shape[:-1], -1)[..., :nout]
+    return out.astype(x.dtype)
 
 
 def fir_valid_multi(x: jax.Array, taps_stack: jax.Array,
@@ -88,17 +109,18 @@ def fir_valid_multi(x: jax.Array, taps_stack: jax.Array,
     back to per-tap convolution.
     """
     k, t = taps_stack.shape
-    n = x.shape[-1]
     if method == "auto":
         method = "direct" if x.dtype == jnp.float64 else "fft"
     if method == "direct":
         return jnp.stack([fir_valid_nd(x, taps_stack[i], method) for i in range(k)])
-    m = _next_pow2(n + t - 1)
-    fx = jnp.fft.rfft(x, m)  # (..., F)
-    fh = jnp.fft.rfft(taps_stack, m)  # (K, F)
-    fh = fh.reshape((k,) + (1,) * (x.ndim - 1) + (-1,))
-    full = jnp.fft.irfft(fx[None] * fh, m)[..., : n + t - 1]
-    return full[..., t - 1 : n].astype(x.dtype)
+    frames, fft_size, nout = _os_frame(x, t)
+    hop = fft_size - t + 1
+    fx = jnp.fft.rfft(frames, fft_size)  # (..., nf, Fr)
+    fh = jnp.fft.rfft(taps_stack, fft_size)  # (K, Fr)
+    fh = fh.reshape((k,) + (1,) * (frames.ndim - 1) + (fh.shape[-1],))
+    seg = jnp.fft.irfft(fx[None] * fh, fft_size)[..., t - 1 : t - 1 + hop]
+    out = seg.reshape((k,) + x.shape[:-1] + (-1,))[..., :nout]
+    return out.astype(x.dtype)
 
 
 def fir_valid_batch(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:

@@ -84,6 +84,28 @@ def _loop_params(spec, dtype, integral_init: float | None = None) -> LoopParams:
     )
 
 
+def _loop_params_host(spec, integral_init: float | None = None) -> LoopParams:
+    """Numpy (host) variant of _loop_params, for bank stacking: one device
+    transfer per stacked pytree instead of one per leaf."""
+    b0, a1 = wd.iir1_lpf_coefs(spec.sample_rate, spec.loop_lpf_cutoff, 1.0)
+    pi = spec.pi
+    return LoopParams(
+        wavetable=wd.nco_wavetable(256, 1.0),
+        set_frequency=np.float64(spec.carrier_freq),
+        phase_scale=np.float64(TWO_PI / spec.sample_rate),
+        index_scale=np.float64(256.0 / TWO_PI),
+        iir_b0=np.float64(b0),
+        iir_a1=np.float64(a1),
+        pi_gp=np.float64(pi.gain * pi.p),
+        pi_gain=np.float64(pi.gain),
+        pi_i=np.float64(pi.i),
+        pi_limit=np.float64(pi.i_limit),
+        pi_integral0=np.float64(
+            pi.integral_init if integral_init is None else integral_init
+        ),
+    )
+
+
 def _apply_agc(audio, agc: AGCParams):
     return agc_apply(
         audio,

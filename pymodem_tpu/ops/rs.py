@@ -59,15 +59,17 @@ RS_BLOCK = make_rs(0, 16)  # il2p.py:132-136
 
 
 def _np_syndromes(rs: RSCode, data, block_size: int) -> np.ndarray:
+    """Vectorized syndromes, identical to the reference's Horner loop
+    (rs_functions.py:36-42): synd[i] = XOR_j d[j] * alpha^((fr+i)(bs-1-j))."""
     gf = rs.gf
-    synd = np.zeros(rs.num_roots, dtype=np.int32)
-    for i in range(rs.num_roots):
-        x = gf.antilog[rs.first_root + i]
-        s = 0
-        for j in range(block_size - 1):
-            s = int(np_gf_mul(gf, s ^ int(data[j]), x))
-        synd[i] = s ^ int(data[block_size - 1])
-    return synd
+    d = np.asarray(data[:block_size], dtype=np.int32)
+    deg = np.arange(block_size - 1, -1, -1, dtype=np.int64)[:, None]  # (L, 1)
+    roots = np.arange(rs.first_root, rs.first_root + rs.num_roots)[None, :]
+    power = (deg * roots) % (gf.order - 1)  # (L, R)
+    terms = np.where(
+        d[:, None] == 0, 0, gf.antilog[(gf.log[d][:, None] + power) % (gf.order - 1)]
+    )
+    return np.bitwise_xor.reduce(terms, axis=0).astype(np.int32)
 
 
 def rs_decode_np(rs: RSCode, data, block_size: int, min_distance: int = 0) -> int:
@@ -104,20 +106,16 @@ def rs_decode_np(rs: RSCode, data, block_size: int, min_distance: int = 0) -> in
         corrector[1:] = corrector[:-1]
         corrector[0] = 0
 
-    # Chien search.
-    locations = []
-    for j in range(block_size):
-        y = j + order - block_size
-        x = 0
-        for i in range(1, t2 + 1):
-            if locator[i]:
-                z = (y * i + int(gf.log[locator[i]]))
-                while z > order - 2:
-                    z -= order - 1
-                x ^= int(gf.antilog[z])
-        x ^= int(locator[0])
-        if x == 0:
-            locations.append(j)
+    # Chien search (vectorized; the reference's repeated subtract-by-255
+    # index reduction equals mod 255 on these non-negative indices).
+    y = (np.arange(block_size, dtype=np.int64) + order - block_size)[:, None]
+    i_idx = np.arange(1, t2 + 1, dtype=np.int64)[None, :]
+    loc_i = locator[1 : t2 + 1][None, :]
+    z = (y * i_idx + gf.log[loc_i]) % (order - 1)
+    chien = np.bitwise_xor.reduce(
+        np.where(loc_i != 0, gf.antilog[z], 0), axis=1
+    ) ^ int(locator[0])
+    locations = np.flatnonzero(chien == 0).tolist()
     error_count = len(locations)
 
     if error_count <= t2 - min_distance:

@@ -106,13 +106,23 @@ def frame_blocks(audio: jax.Array, plan: BlockPlan) -> jax.Array:
     """(n,) -> (n_blocks, block_input_len) overlapped block matrix.
 
     Front-padded with ``overlap`` zeros (block 0's halo) and tail-padded to
-    fill the last block; tail packets are clipped by keep_range.
+    fill the last block; tail packets are clipped by keep_range.  Traceable:
+    called inside the bank jit so the gather fuses on device.
     """
     total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
     padded = jnp.pad(audio, (plan.overlap, total - plan.overlap - plan.n_audio))
-    starts = np.arange(plan.n_blocks) * plan.block_len
-    idx = starts[:, None] + np.arange(plan.block_input_len)[None, :]
-    return jnp.take(padded, jnp.asarray(idx), axis=0)
+    # index matrix built from iota on device -- an np constant here would be
+    # baked into the executable (tens of MB) and dominate program-load time
+    starts = jnp.arange(plan.n_blocks, dtype=jnp.int32)[:, None] * plan.block_len
+    idx = starts + jnp.arange(plan.block_input_len, dtype=jnp.int32)[None, :]
+    return jnp.take(padded, idx, axis=0)
+
+
+def pack_bits(bits: jax.Array) -> jax.Array:
+    """(..., K*8) {0,1} -> (..., K) uint8 MSB-first (np.unpackbits inverse)."""
+    from ..ops.bits import bits_to_bytes_msb
+
+    return bits_to_bytes_msb(bits.astype(jnp.uint8))
 
 
 # ---------------------------------------------------------------------------
@@ -163,36 +173,42 @@ def _modem_trim(kind: str, p) -> int:
 
 
 def _chain_device_params(chain: ChainSpec, dtype):
-    """Per-chain pytree of device arrays: modem + loop + slicer constants."""
+    """Per-chain pytree of HOST (numpy) arrays: modem + loop + slicer
+    constants.  Kept on host so a bank stacks and transfers as one pytree --
+    per-leaf device puts cost a full round trip each on a tunneled TPU.
+    """
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+
+    def to_host(a):
+        a = np.asarray(a)
+        return a.astype(np_dtype) if a.dtype.kind == "f" else a
+
     mp = modems.build_params(chain.modem)
     d: dict[str, Any] = {
-        "modem": jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, dtype)
-            if np.asarray(a).dtype.kind == "f"
-            else jnp.asarray(a),
-            mp._asdict(),
-        )
+        "modem": jax.tree_util.tree_map(to_host, mp._asdict())
     }
     spec = chain.modem
     if chain.modem.kind in ("afsk_pll", "bpsk", "qpsk", "mpsk"):
-        d["loop"] = modems._loop_params(spec, dtype)._asdict()
+        d["loop"] = jax.tree_util.tree_map(
+            to_host, modems._loop_params_host(spec)._asdict()
+        )
     if chain.modem.kind == "qpsk":
         from ..dsp import window_design as wd
 
         bb0, ba1 = wd.iir1_lpf_coefs(spec.sample_rate, spec.branch_lpf_cutoff, 1.0)
-        d["branch_b0"] = jnp.asarray(bb0, dtype)
-        d["branch_a1"] = jnp.asarray(ba1, dtype)
+        d["branch_b0"] = np_dtype.type(bb0)
+        d["branch_a1"] = np_dtype.type(ba1)
     if chain.modem.kind == "mpsk":
-        d["pd_granularity"] = jnp.asarray(spec.pd_granularity, jnp.int32)
+        d["pd_granularity"] = np.int32(spec.pd_granularity)
     if chain.modem.kind == "fsk":
         # invert as a sign multiplier so banks can mix inverted chains
-        d["modem"]["sign"] = jnp.asarray(-1.0 if spec.invert else 1.0, dtype)
+        d["modem"]["sign"] = np_dtype.type(-1.0 if spec.invert else 1.0)
         del d["modem"]["invert"]
     sl = chain.slicer
-    d["sps"] = jnp.asarray(sl.sample_rate / sl.symbol_rate, dtype)
-    d["lock_rate"] = jnp.asarray(sl.lock_rate, dtype)
+    d["sps"] = np_dtype.type(sl.sample_rate / sl.symbol_rate)
+    d["lock_rate"] = np_dtype.type(sl.lock_rate)
     if isinstance(sl, (QuadratureSlicerSpec, FourLevelSlicerSpec)):
-        d["demap"] = jnp.asarray(np.asarray(sl.demap, dtype=np.int32))
+        d["demap"] = np.asarray(sl.demap, dtype=np.int32)
     return d
 
 
@@ -229,7 +245,7 @@ def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
     for key in order:
         bank = banks[key]
         bank.params = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves), *bank.params
+            lambda *leaves: np.stack(leaves), *bank.params
         )
         out.append(bank)
     return out
@@ -371,24 +387,27 @@ def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
     return -(-cap // 8) * 8
 
 
-@partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "poly",
-                                   "invert", "slicer_static_mask",
+@partial(jax.jit, static_argnames=("kind", "slicer_kind", "plan", "capacity",
+                                   "poly", "invert", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
                                    "method", "unroll"))
-def bank_device_step(kind: str, slicer_kind: str, params, blocks: jax.Array,
-                     capacity: int, poly: int, invert: bool,
+def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
+                     plan: BlockPlan, capacity: int, poly: int, invert: bool,
                      slicer_static_mask: int, slicer_static_bps: int,
                      sync_tolerance: int = 0,
                      method: str = "auto", unroll: int = 8):
-    """One bank's full device program: blocks (B, Lin) -> per-chain packets'
-    raw material (C, B, cap) bytes + addresses + counts + IL2P syncword
-    candidate map (C, B, cap*8).
+    """One bank's full device program: audio (n,) -> per-chain packets' raw
+    material (C, B, cap) bytes + addresses + counts + packed IL2P syncword
+    candidate map (C, B, cap) uint8.
 
-    vmapped over the chain axis of ``params``; everything inside is batched
-    over the block axis.  Descrambling and syncword scanning run on device;
-    the host FSM only touches candidate positions.
+    Framing, demod, slicing, descrambling and syncword scanning all run on
+    device in one compiled program; the host FSM only touches candidate
+    positions.  vmapped over the chain axis of ``params``; everything inside
+    is batched over the block axis.
     """
     from ..ops.sync import il2p_sync_candidates
+
+    blocks = frame_blocks(audio, plan)
 
     def one_chain(chain_params):
         chain_params = dict(chain_params)
@@ -403,7 +422,7 @@ def bank_device_step(kind: str, slicer_kind: str, params, blocks: jax.Array,
         if poly not in (0, 1) or invert:
             data = descramble_bytes(data.astype(jnp.uint8), poly, invert)
         sync = il2p_sync_candidates(data.astype(jnp.uint8), sync_tolerance)
-        return data, addr, count, sync
+        return data, addr, count, pack_bits(sync)
 
     return jax.vmap(one_chain)(params)
 
@@ -429,7 +448,11 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     Returns {chain_name: list[Packet]} with per-block keep-region filtering
     applied (each packet attributed to exactly one block).
     """
-    from ..codecs.host import ax25_decode_host, il2p_decode_host
+    from ..codecs.host import (
+        ax25_decode_host,
+        il2p_decode_host,
+        il2p_seeded_sync_possible,
+    )
     from ..config import AX25CodecSpec, IL2PCodecSpec
 
     if dtype is None:
@@ -441,7 +464,6 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
         plan = default_block_plan(
             len(audio), bank.trim, sample_rate, block_seconds, overlap_seconds
         )
-        blocks = frame_blocks(jnp.asarray(audio, dtype), plan)
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
         sync_tol = max(
@@ -453,14 +475,15 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
             default=0,
         )
         data, addr, count, sync = bank_device_step(
-            bank.kind, bank.slicer_kind, bank.params, blocks, cap,
+            bank.kind, bank.slicer_kind, bank.params,
+            jnp.asarray(audio, dtype), plan, cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
         )
         data = np.asarray(data)
         addr = np.asarray(addr)
         count = np.asarray(count)
-        sync = np.asarray(sync)
+        sync = np.asarray(sync)  # packed bitmap (C, B, cap) uint8
         for ci, chain in enumerate(bank.specs):
             packets = []
             for b in range(plan.n_blocks):
@@ -480,7 +503,13 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                         max_packet_length=codec.max_packet_length,
                     )
                 elif isinstance(codec, IL2PCodecSpec):
-                    candidates = np.flatnonzero(sync[ci, b, : n * 8])
+                    if not sync[ci, b, :n].any() and not il2p_seeded_sync_possible(
+                        data[ci, b, :4], codec.sync_tolerance
+                    ):
+                        continue  # no sync can fire anywhere in this block
+                    candidates = np.flatnonzero(
+                        np.unpackbits(sync[ci, b, :n])
+                    )
                     pkts = il2p_decode_host(
                         block_bytes, block_addr, codec.ident,
                         collect_trailing_crc=codec.collect_trailing_crc,

@@ -20,6 +20,8 @@ def enable_compilation_cache(path: str | None = None) -> None:
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # Cache every compilation, even fast ones.
+    # Cache every compilation, even fast ones, and keep large bank programs
+    # (the default LRU budget evicts multi-10MB executables).
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_compilation_cache_max_size", 20 * 1024**3)

@@ -1,0 +1,263 @@
+"""Multi-device execution: the bank program over a ('chain', 'time') mesh.
+
+The reference's only parallelism is one OS process per chain with the whole
+recording copied into each (pymodem.py:140-166).  Here both axes of the
+banked program shard over a device mesh:
+
+* mesh axis ``chain``: the stacked chain-parameter pytree (leading axis C)
+  -- the DP-like axis; no communication.
+* mesh axis ``time``: the overlap-save block axis (B) -- the SP/CP-like
+  axis.  Halos are *computed*, not exchanged: each block reads its own
+  ``overlap + trim`` extra input samples, so there is no neighbour
+  dependence.  The audio is replicated (it is the "weights" of this
+  workload: every chain reads all of it); each shard gathers only the block
+  windows it owns, and the one true cross-shard dependence -- the AGC's
+  whole-recording max (agc.py:67) -- is an explicit ``lax.pmax`` over the
+  time axis.
+
+Built on ``shard_map`` so the collective is visible and the per-shard
+program is exactly the single-device bank program.  Packet-material outputs
+come back sharded (C, B, cap); the host gathers and runs the codec FSMs on
+candidate positions as in runtime/bank.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import bank as bank_mod
+from .bank import (
+    Bank,
+    BlockPlan,
+    _slicer_static,
+    bank_capacity,
+    demod_blocks,
+    frame_blocks,
+    pack_bits,
+    slice_blocks,
+)
+from ..ops.lfsr import descramble_bytes
+
+
+def make_mesh(n_chain: int, n_time: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_chain * n_time, (devices.size, n_chain, n_time)
+    grid = devices[: n_chain * n_time].reshape(n_chain, n_time)
+    return Mesh(grid, axis_names=("chain", "time"))
+
+
+def _shard_demod_blocks(kind, chain_params, blocks, method, unroll):
+    """demod_blocks with the AGC whole-recording max turned into a global
+    collective over the time axis (runs inside shard_map)."""
+    if kind in ("afsk", "fsk"):
+        return demod_blocks(kind, chain_params, blocks, method, unroll)
+    # Coherent families: replicate demod_blocks' structure with the global
+    # max collected across time shards before the AGC scan.
+    from ..dsp.fir import fir_valid_nd
+    from ..dsp.loops import afsk_pll, bpsk_costas
+
+    m = chain_params["modem"]
+    x = fir_valid_nd(blocks, m["input_bpf"], method)
+    normal = jax.lax.pmax(jnp.max(x), "time")  # agc.py:67, now a collective
+    x = bank_mod._agc_blocks(x, m["agc"], unroll, normal)
+    if kind == "afsk_pll":
+        demod = jax.vmap(
+            lambda row: afsk_pll(row, bank_mod._loop_from(chain_params), unroll=unroll)
+        )(x)
+        return fir_valid_nd(demod, m["output_lpf"], method)
+    if kind == "bpsk":
+        demod = jax.vmap(
+            lambda row: bpsk_costas(row, bank_mod._loop_from(chain_params), unroll=unroll)
+        )(x)
+        return fir_valid_nd(demod, m["rrc"], method)
+    # qpsk / mpsk: per-block AGC max differs from the global only in the
+    # rare case the recording max sits in another shard's exclusive region;
+    # route through the same collective pattern.
+    raise NotImplementedError(
+        f"sharded coherent family {kind!r}: add its loop like afsk_pll/bpsk"
+    )
+
+
+def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
+                      audio: jax.Array, plan: BlockPlan, capacity: int,
+                      poly: int, invert: bool, slicer_static_mask: int,
+                      slicer_static_bps: int, sync_tolerance: int = 0,
+                      method: str = "auto", unroll: int = 8):
+    """jit(shard_map(...)) of the full bank program over the mesh.
+
+    params leaves are sharded on their leading chain axis; the block axis is
+    sharded over ``time`` (each shard frames only its own block windows from
+    the replicated audio).  Returns (data, addr, count, packed_sync) with
+    (C, B, ...) layouts sharded over ('chain', 'time').
+    """
+    n_time = mesh.shape["time"]
+    assert plan.n_blocks % n_time == 0, (plan.n_blocks, n_time)
+
+    def shard_fn(shard_params, audio_rep):
+        t_idx = jax.lax.axis_index("time")
+        blocks_per_shard = plan.n_blocks // n_time
+        # Frame all blocks' indices but slice this shard's rows: the gather
+        # itself only reads this shard's windows after XLA DCE; audio is
+        # replicated so there is no halo exchange to do.
+        local_plan = BlockPlan(
+            n_audio=plan.n_audio, trim=plan.trim,
+            block_len=plan.block_len, overlap=plan.overlap,
+        )
+        total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
+        padded = jnp.pad(
+            audio_rep, (plan.overlap, total - plan.overlap - plan.n_audio)
+        )
+        start0 = t_idx * blocks_per_shard * plan.block_len
+        starts = start0 + jnp.arange(blocks_per_shard, dtype=jnp.int32)[:, None] * plan.block_len
+        idx = starts + jnp.arange(plan.block_input_len, dtype=jnp.int32)[None, :]
+        blocks = jnp.take(padded, idx, axis=0)
+
+        def one_chain(chain_params):
+            chain_params = dict(chain_params)
+            chain_params["slicer_static"] = {
+                "state_mask": slicer_static_mask,
+                "bits_per_symbol": slicer_static_bps,
+            }
+            baseband = _shard_demod_blocks(kind, chain_params, blocks, method, unroll)
+            data, addr, count = slice_blocks(
+                slicer_kind, chain_params, baseband, capacity, unroll
+            )
+            if poly not in (0, 1) or invert:
+                data = descramble_bytes(data.astype(jnp.uint8), poly, invert)
+            from ..ops.sync import il2p_sync_candidates
+
+            sync = il2p_sync_candidates(data.astype(jnp.uint8), sync_tolerance)
+            return data, addr, count, pack_bits(sync)
+
+        return jax.vmap(one_chain)(shard_params)
+
+    from jax.experimental.shard_map import shard_map
+
+    spec_params = jax.tree_util.tree_map(lambda _: P("chain"), params)
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec_params, P()),
+        out_specs=(
+            P("chain", "time"), P("chain", "time"), P("chain", "time"),
+            P("chain", "time"),
+        ),
+        check_rep=False,
+    )
+    return jax.jit(fn)(params, audio)
+
+
+def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
+                       block_seconds: float = 16.0, overlap_seconds: float = 6.0,
+                       method: str = "auto", unroll: int = 8):
+    """Sharded analog of bank.run_banked over an existing mesh.
+
+    Bank chain counts must divide the mesh 'chain' axis size evenly (pad
+    your sweep banks); the block count is rounded up to a multiple of the
+    'time' axis.
+    """
+    from ..codecs.host import (
+        ax25_decode_host,
+        il2p_decode_host,
+        il2p_seeded_sync_possible,
+    )
+    from ..config import AX25CodecSpec, IL2PCodecSpec
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    audio = np.asarray(audio)
+    n_chain = mesh.shape["chain"]
+    n_time = mesh.shape["time"]
+    results: dict[str, list] = {}
+    for bank in bank_mod.group_chains(list(chains), dtype):
+        if len(bank.specs) % n_chain != 0:
+            raise ValueError(
+                f"bank of {len(bank.specs)} chains does not divide mesh "
+                f"chain axis {n_chain}"
+            )
+        sample_rate = bank.specs[0].modem.sample_rate
+        plan = bank_mod.default_block_plan(
+            len(audio), bank.trim, sample_rate, block_seconds, overlap_seconds
+        )
+        # round blocks up to a multiple of the time axis
+        n_blocks = -(-plan.n_blocks // n_time) * n_time
+        block_len = plan.block_len
+        if n_blocks != plan.n_blocks:
+            plan = BlockPlan(
+                n_audio=plan.n_audio, trim=plan.trim,
+                block_len=-(-plan.n_demod // n_blocks),
+                overlap=plan.overlap,
+            )
+            while plan.n_blocks != n_blocks:  # exact tiling
+                block_len = plan.block_len + (1 if plan.n_blocks > n_blocks else -1)
+                plan = BlockPlan(plan.n_audio, plan.trim, block_len, plan.overlap)
+        st = _slicer_static(bank)
+        cap = bank_capacity(bank, plan)
+        sync_tol = max(
+            (
+                getattr(c.codec, "sync_tolerance", 0)
+                for c in bank.specs
+                if isinstance(c.codec, IL2PCodecSpec)
+            ),
+            default=0,
+        )
+        data, addr, count, sync = sharded_bank_step(
+            mesh, bank.kind, bank.slicer_kind, bank.params,
+            jnp.asarray(audio, dtype), plan, cap,
+            bank.stream_poly, bank.stream_invert,
+            st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
+        )
+        data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
+        for ci, chain in enumerate(bank.specs):
+            packets = []
+            for b in range(plan.n_blocks):
+                n = int(count[ci, b])
+                if n == 0:
+                    continue
+                codec = chain.codec
+                offset = b * plan.block_len - plan.overlap
+                block_bytes = data[ci, b, :n].astype(np.int64)
+                block_addr = addr[ci, b, :n].astype(np.int64) + offset
+                if isinstance(codec, AX25CodecSpec):
+                    pkts = ax25_decode_host(
+                        block_bytes, block_addr, codec.ident,
+                        min_packet_length=codec.min_packet_length,
+                        max_packet_length=codec.max_packet_length,
+                    )
+                elif isinstance(codec, IL2PCodecSpec):
+                    if not sync[ci, b, :n].any() and not il2p_seeded_sync_possible(
+                        data[ci, b, :4], codec.sync_tolerance
+                    ):
+                        continue
+                    pkts = il2p_decode_host(
+                        block_bytes, block_addr, codec.ident,
+                        collect_trailing_crc=codec.collect_trailing_crc,
+                        disable_rs=codec.disable_rs,
+                        min_distance=codec.min_distance,
+                        sync_tolerance=codec.sync_tolerance,
+                        sync_candidates=np.flatnonzero(
+                            np.unpackbits(sync[ci, b, :n])
+                        ),
+                    )
+                else:
+                    raise ValueError(type(codec))
+                lo, hi = plan.keep_range(b)
+                packets.extend(p for p in pkts if lo < p.streamaddress <= hi)
+            sl = chain.slicer
+            window = 16.0 * sl.sample_rate / sl.symbol_rate
+            packets.sort(key=lambda p: p.streamaddress)
+            deduped = []
+            for p in packets:
+                if (
+                    deduped
+                    and list(p.data) == list(deduped[-1].data)
+                    and p.streamaddress - deduped[-1].streamaddress < window
+                ):
+                    continue
+                deduped.append(p)
+            results[chain.name] = deduped
+    return results

@@ -1,0 +1,77 @@
+"""Sharded runtime: ('chain', 'time') mesh parity with the single-device bank.
+
+Runs on the 8 virtual CPU devices from conftest.  The sharded program must
+produce the same packets as the single-device banked program -- the per-shard
+computation is identical and the only collective (AGC global max) reproduces
+the replicated value.
+"""
+
+import numpy as np
+import pytest
+from dataclasses import replace
+
+import jax
+
+from pymodem_tpu.config import load_plan
+from pymodem_tpu.runtime.bank import run_banked
+from pymodem_tpu.runtime.sharded import make_mesh, run_banked_sharded
+
+CONFIG = "/root/reference/configs/afsk_300.json"
+
+
+@pytest.fixture(scope="module")
+def sweep_chains(fixture_audio):
+    import os
+
+    if not os.path.exists(CONFIG):
+        pytest.skip("reference configs not available")
+    rate, _ = fixture_audio
+    plan = load_plan(CONFIG, rate)
+    base = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc Correlator"][0]
+    return [
+        replace(base, name=f"s{i}", modem=replace(base.modem, space_gain=1.0 + 0.1 * i))
+        for i in range(2)
+    ]
+
+
+def test_sharded_matches_single_device(fixture_audio, sweep_chains):
+    rate, audio = fixture_audio
+    audio = audio[: rate * 60]  # one minute: 3+ blocks, fast in f64 on CPU
+    mesh = make_mesh(2, 4)
+    single = run_banked(sweep_chains, audio)
+    sharded = run_banked_sharded(sweep_chains, audio, mesh)
+    assert set(single) == set(sharded)
+    total = 0
+    for name in single:
+        a = [(p.streamaddress, list(p.data)) for p in single[name]]
+        b = [(p.streamaddress, list(p.data)) for p in sharded[name]]
+        assert a == b
+        total += len(b)
+    assert total > 0  # the minute of audio contains packets
+
+
+def test_pll_sharded_collective(fixture_audio):
+    """AFSK-PLL (AGC + PLL scan) through the pmax collective path."""
+    import os
+
+    if not os.path.exists(CONFIG):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(CONFIG, rate)
+    base = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc PLL inverted"][0]
+    chains = [
+        replace(base, name=f"pll{i}",
+                modem=replace(base.modem, carrier_freq=1700.0 + i))
+        for i in range(2)
+    ]
+    audio = audio[: rate * 60]
+    mesh = make_mesh(2, 4)
+    single = run_banked(chains, audio)
+    sharded = run_banked_sharded(chains, audio, mesh)
+    total = 0
+    for name in single:
+        a = [(p.streamaddress, list(p.data)) for p in single[name]]
+        b = [(p.streamaddress, list(p.data)) for p in sharded[name]]
+        assert a == b
+        total += len(b)
+    assert total > 0
