@@ -1,0 +1,64 @@
+"""Synthetic golden fixtures: modulated frames for every chain family.
+
+The reference has no transmit path and ships one AFSK-300 WAV, so every
+other modem family is validated against audio synthesized here
+(SURVEY.md section 4).  Each builder returns (audio_float, sent_payloads)
+for a given chain spec; the round-trip contract decode(modulate(frames))
+== frames is asserted in tests/test_synth.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import encode as enc
+from . import modulate as mod
+
+
+def _line_bits_from_bytes(stream_bytes, polynomial: int, invert: bool) -> list[int]:
+    bits = enc.bytes_to_bits_msb(stream_bytes)
+    return enc.scramble_bits(bits, polynomial, invert)
+
+
+def _idle_bits(n: int) -> list[int]:
+    return [1 if i % 2 == 0 else 0 for i in range(n)]
+
+
+def il2p_line_bits(payloads, polynomial: int = 0x3, invert: bool = False,
+                   gap_bits: int = 400, dest: str = "KI5ABC",
+                   source: str = "N0CALL") -> list[int]:
+    """Concatenated IL2P frames with alternating idle fill, scrambled into
+    line bits."""
+    stream: list[int] = []
+    line: list[int] = []
+    for i, payload in enumerate(payloads):
+        frame = enc.il2p_frame(dest, source, payload)
+        line += _idle_bits(gap_bits)
+        line += _line_bits_from_bytes(frame, polynomial, invert)
+    line += _idle_bits(gap_bits)
+    return line
+
+
+def ax25_line_bits(frames_payloads, polynomial: int = 0x3, invert: bool = True,
+                   gap_bits: int = 400, dest: str = "KI5ABC",
+                   source: str = "N0CALL") -> list[int]:
+    """Concatenated AX.25/HDLC frames, NRZI(+scramble)-encoded line bits."""
+    bits: list[int] = []
+    for payload in frames_payloads:
+        frame = enc.ax25_ui_frame(dest, source, payload)
+        bits += _idle_bits(gap_bits)
+        bits += enc.hdlc_encode(frame, flag_count=8)
+    bits += _idle_bits(gap_bits)
+    return enc.scramble_bits(bits, polynomial, invert)
+
+
+def payloads(rng: np.random.Generator, count: int = 3,
+             size: int = 40) -> list[bytes]:
+    """ASCII payloads (printable-header safe for IL2P type-0 checks)."""
+    alphabet = np.frombuffer(
+        b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 ",
+        dtype=np.uint8,
+    )
+    return [
+        bytes(rng.choice(alphabet, size=size)) for _ in range(count)
+    ]
