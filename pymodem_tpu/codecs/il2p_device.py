@@ -1,0 +1,319 @@
+"""IL2P decode fully on device: batched bit/GF kernels, no host FSM.
+
+Strategy (contrast with the reference's per-bit FSM, il2p.py:360-519): the
+sync scan (ops/sync.py) yields candidate bit positions; every candidate is
+decoded *independently* in fixed shapes -- header + up to MAX_BLOCKS
+Reed-Solomon payload blocks + Hamming CRC trailer -- with all candidates
+batched through the vectorized RS decoder (ops/rs.py rs_decode_jax).  A
+final tiny scan over the (few) candidates enforces the FSM's consumption
+rule: a sync match inside an already-consumed packet span is ignored.
+Redundant decode work on overlapping candidates is negligible because
+candidates are rare (2^-24 per bit in noise).
+
+Known deviation from the bit-serial reference: sync matches that depend on
+carried word history (the 0xFFFFFF seed in a stream's first 32 bits, or the
+last consumed byte right after a packet) are not in the pure-bit candidate
+map; probability < 2^-20 per boundary, and the exact host path
+(codecs/host.py) remains available for parity runs.
+
+Outputs are fixed-capacity packet buffers: (MAX_PACKETS, MAX_PACKET_LEN)
+bytes + lengths + stream addresses + validity/corrected counts, ready for
+all_gather across shards.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rs as rs_ops
+from ..ops.bits import bytes_to_bits_msb
+from ..ops.crc import crc16_masked
+from ..ops.hamming import HAMMING74_DECODE
+from ..ops.lfsr import descramble_bytes
+from .host import PID_TABLE, SCRAMBLE_POLY, SCRAMBLE_SEED, U_CONTROL
+
+MAX_BLOCKS = 5  # ceil(1023 / 239), il2p.py:346-358
+MAX_PAYLOAD = 1023
+MAX_AX25_HEADER = 16
+MAX_PACKET_LEN = MAX_AX25_HEADER + MAX_PAYLOAD + 2
+_HAMMING = jnp.asarray(HAMMING74_DECODE.astype(np.int32))
+_PID = jnp.asarray(np.asarray(PID_TABLE, dtype=np.int32))
+_UCTL = jnp.asarray(np.asarray(U_CONTROL, dtype=np.int32))
+
+
+def _parse_header(buf):
+    """Unpack 13 descrambled header bytes (il2p.py:214-290).  buf: (13,)."""
+    i10 = jnp.arange(10)
+    count = jnp.sum(
+        jnp.where((buf[i10 + 2] & 0x80) != 0, 0x200 >> i10, 0)
+    ).astype(jnp.int32)
+    i4 = jnp.arange(4)
+    pid = jnp.sum(jnp.where((buf[i4 + 1] & 0x40) != 0, 0x8 >> i4, 0)).astype(jnp.int32)
+    i7 = jnp.arange(7)
+    control = jnp.sum(
+        jnp.where((buf[i7 + 5] & 0x40) != 0, 0x40 >> i7, 0)
+    ).astype(jnp.int32)
+    header_type = (buf[1] & 0x80) >> 7
+    ui = (buf[0] & 0x40) != 0
+    dest = (buf[:6] & 0x3F) + 0x20
+    dest_ssid = buf[12] >> 4
+    source = (buf[6:12] & 0x3F) + 0x20
+    source_ssid = buf[12] & 0xF
+    return count, pid, control, header_type, ui, dest, dest_ssid, source, source_ssid
+
+
+def _ax25_header(count, pid, control, header_type, ui, dest, dest_ssid,
+                 source, source_ssid):
+    """Re-synthesize the AX.25 header (il2p.py:292-344) in fixed shape.
+
+    Returns (header_bytes (16,), header_len).  Type-0 -> length 0.
+    """
+    # frame type: UI > (pid==0 -> S) > (pid==1 -> U) > I
+    is_ui = ui
+    is_s = (~ui) & (pid == 0)
+    is_u = (~ui) & (pid == 1)
+    is_i = (~ui) & (pid > 1)
+
+    pf_bit = (control & 0x40) != 0
+    ns = control & 0x7
+    nr = (control >> 3) & 0x7
+    c_bit = jnp.where(is_i, True, (control & 0x4) != 0)
+    opcode = jnp.where(is_s, control & 0x3, (control >> 3) & 0x7)
+
+    out = jnp.zeros((MAX_AX25_HEADER,), jnp.int32)
+    out = out.at[0:6].set(dest.astype(jnp.int32) << 1)
+    dssid = (dest_ssid.astype(jnp.int32) << 1) + 0x60 + jnp.where(c_bit, 0x80, 0)
+    out = out.at[6].set(dssid)
+    out = out.at[7:13].set(source.astype(jnp.int32) << 1)
+    sssid = (source_ssid.astype(jnp.int32) << 1) + 0x60 + jnp.where(c_bit, 0, 0x80) + 1
+    out = out.at[13].set(sssid)
+
+    u_ctl = _UCTL[jnp.clip(opcode, 0, 7)] | jnp.where(pf_bit, 0x10, 0)
+    s_ctl = 0x1 | (opcode << 2) | (nr << 5) | jnp.where(pf_bit, 0x10, 0)
+    i_ctl = (ns << 1) | (nr << 5) | jnp.where(pf_bit, 0x10, 0)
+    control_byte = jnp.where(is_u | is_ui, u_ctl, jnp.where(is_s, s_ctl, i_ctl))
+    out = out.at[14].set(control_byte)
+
+    pid_byte = _PID[jnp.clip(pid, 0, 15)]
+    has_pid = pid_byte != 0
+    out = out.at[15].set(pid_byte)
+    length = jnp.where(header_type == 1, jnp.where(has_pid, 16, 15), 0)
+    # when pid is omitted the byte at 15 must not be kept
+    out = out.at[15].set(jnp.where(has_pid, pid_byte, 0))
+    return out, length.astype(jnp.int32)
+
+
+def _descramble_fixed(data, n_valid):
+    """Device block descramble (il2p.py:160-163): feed-forward XOR with the
+    0x211/0x1F0 seed over the first n_valid bytes; rest passed through."""
+    out = descramble_bytes(data.astype(jnp.uint8), SCRAMBLE_POLY,
+                           seed=SCRAMBLE_SEED).astype(jnp.int32)
+    idx = jnp.arange(data.shape[-1])
+    return jnp.where(idx < n_valid, out, data.astype(jnp.int32))
+
+
+def _pack_bytes_at(bits_padded, bit_pos, count):
+    """Gather ``count`` bytes starting at bit offset ``bit_pos`` from a
+    zero-padded bit array."""
+    offs = bit_pos + jnp.arange(count * 8)
+    window = jnp.take(bits_padded, offs, mode="fill", fill_value=0)
+    weights = 1 << jnp.arange(7, -1, -1)
+    return jnp.sum(window.reshape(count, 8) * weights, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_packets", "collect_crc", "disable_rs",
+                                   "min_distance"))
+def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
+                       counts: jax.Array, addresses: jax.Array,
+                       max_packets: int = 8, collect_crc: bool = True,
+                       disable_rs: bool = False, min_distance: int = 0):
+    """Decode IL2P packets from byte-stream blocks, fully on device.
+
+    data: (..., K) uint8 descrambled stream bytes; sync_packed: (..., K)
+    uint8 packed candidate bitmap (ops/sync.py); counts: (...,) valid byte
+    counts; addresses: (..., K) per-byte stream addresses.
+
+    Returns dict of (..., max_packets, ...) arrays: ``packet`` bytes,
+    ``length``, ``address``, ``ok`` (structurally complete), ``crc_ok``,
+    ``corrected``.
+    """
+    batch_shape = data.shape[:-1]
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch_shape):])
+    out = _il2p_decode_flat(
+        flat(data), flat(sync_packed), counts.reshape(-1), flat(addresses),
+        max_packets, collect_crc, disable_rs, min_distance,
+    )
+    return {k: v.reshape(batch_shape + v.shape[1:]) for k, v in out.items()}
+
+
+def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
+                      collect_crc, disable_rs, min_distance):
+    K = data.shape[-1]
+    n_bits_total = K * 8
+
+    def one_block(block_bytes, block_sync, n_bytes, block_addr):
+        bits = bytes_to_bits_msb(block_bytes).astype(jnp.int32)
+        n_bits = n_bytes * 8
+        bit_idx = jnp.arange(n_bits_total)
+        cand_map = bytes_to_bits_msb(block_sync).astype(jnp.bool_)
+        cand_map = cand_map & (bit_idx < n_bits)
+        # first max_packets candidate positions, padded with n_bits_total
+        cand_pos = jnp.sort(
+            jnp.where(cand_map, bit_idx, n_bits_total)
+        )[:max_packets]
+
+        # ---- per-candidate fixed-shape decode (vmapped) ----
+        def candidate(pos):
+            start = pos + 1
+            hdr_raw = _pack_bytes_at(bits, start, 15)
+            return hdr_raw
+
+        hdr_raw = jax.vmap(candidate)(cand_pos)  # (P, 15)
+        if disable_rs:
+            hdr_corr, hdr_res = hdr_raw, jnp.zeros((max_packets,), jnp.int32)
+        else:
+            hdr_corr, hdr_res = rs_ops.rs_decode_jax(
+                hdr_raw, jnp.full((max_packets,), 15, jnp.int32),
+                num_roots=2, min_distance=min_distance,
+            )
+        hdr = jax.vmap(lambda h: _descramble_fixed(h[:13], 13))(hdr_corr)
+
+        parsed = jax.vmap(_parse_header)(hdr)
+        count = jnp.clip(parsed[0], 0, MAX_PAYLOAD)
+        ax25, ax25_len = jax.vmap(_ax25_header)(*parsed)
+
+        # block layout (il2p.py:346-358)
+        block_count = -(-count // 239)
+        block_count = jnp.maximum(block_count, 0)
+        base_size = jnp.where(block_count > 0, count // jnp.maximum(block_count, 1), 0)
+        big_blocks = count - block_count * base_size
+        k_idx = jnp.arange(MAX_BLOCKS)[None, :]  # (1, MB)
+        sizes = jnp.where(
+            k_idx < big_blocks[:, None], base_size[:, None] + 1,
+            jnp.where(k_idx < block_count[:, None], base_size[:, None], 0),
+        )  # (P, MB)
+        coded_sizes = jnp.where(sizes > 0, sizes + 16, 0)
+        block_bit_off = 120 + 8 * (
+            jnp.cumsum(coded_sizes, axis=1) - coded_sizes
+        )  # (P, MB) offsets after sync
+
+        def get_block(pos, off):
+            return _pack_bytes_at(bits, pos + 1 + off, 255)
+
+        blocks_raw = jax.vmap(
+            lambda pos, offs: jax.vmap(lambda o: get_block(pos, o))(offs)
+        )(cand_pos, block_bit_off)  # (P, MB, 255)
+
+        if disable_rs:
+            blocks_corr = blocks_raw
+            blk_res = jnp.zeros((max_packets, MAX_BLOCKS), jnp.int32)
+        else:
+            bc, br = rs_ops.rs_decode_jax(
+                blocks_raw.reshape(-1, 255),
+                jnp.maximum(coded_sizes.reshape(-1), 1),
+                num_roots=16, min_distance=min_distance,
+            )
+            blocks_corr = bc.reshape(max_packets, MAX_BLOCKS, 255)
+            blk_res = br.reshape(max_packets, MAX_BLOCKS)
+
+        blocks_plain = jax.vmap(
+            jax.vmap(_descramble_fixed, in_axes=(0, 0)), in_axes=(0, 0)
+        )(blocks_corr, sizes)
+
+        # gather payload bytes: payload[i] lives in block k(i) at i - start_k
+        pay_idx = jnp.arange(MAX_PAYLOAD)[None, :]  # (1, MP)
+        starts = jnp.cumsum(sizes, axis=1) - sizes  # (P, MB)
+        k_of = jnp.sum(
+            (pay_idx[:, :, None] >= starts[:, None, :])
+            & (sizes[:, None, :] > 0), axis=2,
+        ) - 1  # (P, MP)
+        k_of = jnp.clip(k_of, 0, MAX_BLOCKS - 1)
+        within = pay_idx - jnp.take_along_axis(starts, k_of, axis=1)
+        payload = jnp.take_along_axis(
+            blocks_plain.reshape(max_packets, -1),
+            k_of * 255 + jnp.clip(within, 0, 254), axis=1,
+        )  # (P, MP)
+
+        # trailing CRC (il2p.py:503-518)
+        crc_off = 120 + 8 * jnp.sum(coded_sizes, axis=1)
+        crc_raw = jax.vmap(lambda pos, off: _pack_bytes_at(bits, pos + 1 + off, 4))(
+            cand_pos, crc_off
+        )  # (P, 4)
+        nib = _HAMMING[crc_raw & 0x7F]  # (P, 4)
+        sh = jnp.asarray([12, 8, 4, 0])
+        carried_crc = jnp.sum(nib << sh[None, :], axis=1)
+
+        # assemble packet = ax25 header + payload (+2 CRC bytes)
+        pkt = jnp.zeros((max_packets, MAX_PACKET_LEN), jnp.int32)
+        slot = jnp.arange(MAX_PACKET_LEN)[None, :]
+        hdr_sel = jnp.take_along_axis(
+            ax25, jnp.clip(slot, 0, MAX_AX25_HEADER - 1), axis=1
+        )
+        pay_pos = slot - ax25_len[:, None]
+        pay_sel = jnp.take_along_axis(
+            payload, jnp.clip(pay_pos, 0, MAX_PAYLOAD - 1), axis=1
+        )
+        pkt = jnp.where(slot < ax25_len[:, None], hdr_sel,
+                        jnp.where(pay_pos < count[:, None], pay_sel, 0))
+        data_len = ax25_len + count
+        total_len = data_len + 2
+        # CRC bytes: little-endian carried (collect_crc) or calculated
+        calc_crc = crc16_masked(pkt.astype(jnp.uint8), data_len).astype(jnp.int32)
+        trail = carried_crc if collect_crc else calc_crc
+        pkt = jnp.where(slot == data_len[:, None], trail[:, None] & 0xFF, pkt)
+        pkt = jnp.where(slot == (data_len + 1)[:, None], trail[:, None] >> 8, pkt)
+
+        # span consumed (bits): sync bit + header + blocks (+ crc)
+        span_ok = 1 + 120 + 8 * jnp.sum(coded_sizes, axis=1) + (32 if collect_crc else 0)
+        hdr_fail = hdr_res < 0
+        blk_fail_any = jnp.any((blk_res < 0) & (coded_sizes > 0), axis=1)
+        first_bad = jnp.argmax((blk_res < 0) & (coded_sizes > 0), axis=1)
+        span_hdr_fail = 1 + 120
+        span_blk_fail = 1 + 120 + 8 * (
+            jnp.take_along_axis(
+                jnp.cumsum(coded_sizes, axis=1), first_bad[:, None], axis=1
+            )[:, 0]
+        )
+        span = jnp.where(
+            hdr_fail, span_hdr_fail,
+            jnp.where(blk_fail_any, span_blk_fail, span_ok),
+        )
+        structural_ok = (
+            (~hdr_fail) & (~blk_fail_any)
+            & (cand_pos + span <= n_bits)
+            & (cand_pos < n_bits)
+        )
+        corrected = jnp.maximum(hdr_res, 0) + jnp.sum(
+            jnp.where(coded_sizes > 0, jnp.maximum(blk_res, 0), 0), axis=1
+        )
+
+        # ---- sequential acceptance over candidates (FSM consumption) ----
+        def accept_step(resume, xs):
+            pos, sp, ok = xs
+            take = (pos >= resume) & (pos < n_bits)
+            new_resume = jnp.where(take, pos + sp, resume)
+            return new_resume, take
+
+        _, accepted = jax.lax.scan(
+            accept_step, jnp.zeros((), jnp.int32),
+            (cand_pos.astype(jnp.int32), span.astype(jnp.int32), structural_ok),
+        )
+        emit = accepted & structural_ok
+
+        last_bit = jnp.clip(cand_pos + span - 1, 0, n_bits_total - 1)
+        address = jnp.take(block_addr, last_bit // 8, mode="clip").astype(jnp.int32)
+        crc_ok = (calc_crc == carried_crc) if collect_crc else jnp.ones_like(emit)
+        return {
+            "packet": pkt,
+            "length": jnp.where(emit, total_len, 0),
+            "address": jnp.where(emit, address, 0),
+            "ok": emit,
+            "crc_ok": emit & crc_ok,
+            "corrected": jnp.where(emit, corrected, 0),
+        }
+
+    return jax.vmap(one_block)(data, sync_packed, counts, addresses)

@@ -1,0 +1,110 @@
+"""On-device IL2P codec vs the (reference-exact) host decoder."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pymodem_tpu.codecs.host import il2p_decode_host
+from pymodem_tpu.codecs.il2p_device import il2p_decode_blocks
+from pymodem_tpu.ops.sync import il2p_sync_candidates
+from pymodem_tpu.synth.encode import il2p_frame
+from pymodem_tpu.synth.fixtures import payloads
+
+
+def _device_decode(stream: np.ndarray, collect_crc=True, disable_rs=False,
+                   min_distance=0, max_packets=8):
+    K = -(-len(stream) // 128) * 128
+    data = np.zeros(K, np.uint8)
+    data[: len(stream)] = stream
+    addr = np.arange(1, K + 1, dtype=np.int32)
+    sync = np.packbits(np.asarray(il2p_sync_candidates(jnp.asarray(data), 0)))
+    out = il2p_decode_blocks(
+        jnp.asarray(data)[None, :], jnp.asarray(sync)[None, :],
+        jnp.asarray([len(stream)], jnp.int32), jnp.asarray(addr)[None, :],
+        max_packets=max_packets, collect_crc=collect_crc,
+        disable_rs=disable_rs, min_distance=min_distance,
+    )
+    out = {k: np.asarray(v)[0] for k, v in out.items()}
+    pkts = []
+    for i in range(max_packets):
+        if out["ok"][i]:
+            length = int(out["length"][i])
+            pkts.append(
+                (
+                    list(out["packet"][i][:length]),
+                    int(out["address"][i]),
+                    int(out["corrected"][i]),
+                    bool(out["crc_ok"][i]),
+                )
+            )
+    return pkts
+
+
+def _host_decode(stream, collect_crc=True, disable_rs=False, min_distance=0):
+    addr = np.arange(1, len(stream) + 1, dtype=np.int64)
+    pkts = il2p_decode_host(
+        stream.astype(np.int64), addr, "h",
+        collect_trailing_crc=collect_crc, disable_rs=disable_rs,
+        min_distance=min_distance,
+    )
+    out = []
+    for p in pkts:
+        p.validate()
+        out.append(
+            (list(p.data), p.streamaddress, p.bytes_corrected, p.valid_crc)
+        )
+    return out
+
+
+def _stream_with_frames(rng, n_frames=3, corrupt=0, **frame_kw):
+    parts = []
+    for i in range(n_frames):
+        parts.append(rng.integers(0, 256, 60, dtype=np.int64))
+        payload = payloads(rng, count=1, size=30 + i * 60)[0]
+        frame = np.array(il2p_frame("KI5ABC", "N0CALL", payload, **frame_kw),
+                         dtype=np.int64)
+        if corrupt:
+            # flip bytes inside the first payload block region (RS territory)
+            pos = rng.choice(np.arange(20, len(frame) - 6), corrupt, replace=False)
+            frame[pos] ^= rng.integers(1, 256, corrupt)
+        parts.append(frame)
+    parts.append(rng.integers(0, 256, 60, dtype=np.int64))
+    return np.concatenate(parts)
+
+
+def test_clean_frames(rng):
+    stream = _stream_with_frames(rng, 3)
+    assert _device_decode(stream) == _host_decode(stream)
+    assert len(_host_decode(stream)) == 3
+
+
+def test_rs_corrections(rng):
+    stream = _stream_with_frames(rng, 3, corrupt=4)
+    dev, host = _device_decode(stream), _host_decode(stream)
+    assert dev == host
+    assert any(c > 0 for _, _, c, _ in host)
+
+
+def test_no_trailing_crc(rng):
+    stream = _stream_with_frames(rng, 2, append_crc=False)
+    assert _device_decode(stream, collect_crc=False) == _host_decode(
+        stream, collect_crc=False
+    )
+
+
+def test_noise_only(rng):
+    stream = rng.integers(0, 256, 20000, dtype=np.int64)
+    assert _device_decode(stream) == _host_decode(stream)
+
+
+def test_embedded_syncs_in_noise(rng):
+    chunks = []
+    for _ in range(10):
+        chunks.append(rng.integers(0, 256, 50, dtype=np.int64))
+        chunks.append(np.array([0xF1, 0x5E, 0x48], dtype=np.int64))
+        chunks.append(rng.integers(0, 256, 100, dtype=np.int64))
+    stream = np.concatenate(chunks)
+    dev, host = _device_decode(stream, max_packets=16), _host_decode(stream)
+    # device packets are a prefix-capacity-limited equal set
+    assert dev == host[: len(dev)]
