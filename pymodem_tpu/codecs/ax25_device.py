@@ -1,0 +1,178 @@
+"""AX.25/HDLC deframing on device: one scan + vectorized packetization.
+
+The reference deframer (ax25.py:25-93) is a per-bit Python FSM.  Here the
+FSM becomes a single ``lax.scan`` over the bit stream that emits, per bit,
+(completed byte, byte-done flag, packet-closing-flag flag); packet
+extraction is then pure vectorized work: completed bytes compact into a
+dense stream tagged with a segment id (flags start new segments), and each
+closing flag gathers its segment's bytes into a fixed-capacity packet
+buffer.
+
+Semantics preserved from the reference, including the quirks: a stuffed
+zero after five 1s is dropped; a run of >6 ones resets the bit/byte
+counters but keeps already-collected bytes in the working packet; a flag
+closes the packet only when >= min_packet_length bytes collected and the
+bit phase lands on 7.  Deviation: the reference's max-packet-length
+overflow path also zeroes ``one_count`` when the overflowing bit is a 1
+(ax25.py:46-52), subtly changing stuffing state for >1023-byte frames;
+such frames are CRC-garbage in practice and this path treats the overflow
+as a plain counter reset.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bits import bytes_to_bits_msb
+from ..ops.crc import crc16_masked
+
+
+class _Carry(NamedTuple):
+    working: jax.Array  # int32 byte assembly register (LSB-first shifts)
+    one_count: jax.Array
+    bit_index: jax.Array
+    byte_index: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_packets", "max_packet_len",
+                                   "min_packet_length", "max_packet_length",
+                                   "unroll"))
+def ax25_decode_blocks(data: jax.Array, counts: jax.Array,
+                       addresses: jax.Array, max_packets: int = 8,
+                       max_packet_len: int = 512, min_packet_length: int = 18,
+                       max_packet_length: int = 1023, unroll: int = 8):
+    """Deframe HDLC packets from byte-stream blocks on device.
+
+    data: (..., K) uint8; counts: (...,) valid byte counts; addresses:
+    (..., K) per-byte stream addresses.  Returns (..., max_packets, ...)
+    buffers: ``packet``, ``length``, ``address``, ``ok``, ``crc_ok``.
+    """
+    batch = data.shape[:-1]
+    flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
+    out = _ax25_flat(flat(data), counts.reshape(-1), flat(addresses),
+                     max_packets, max_packet_len, min_packet_length,
+                     max_packet_length, unroll)
+    return {k: v.reshape(batch + v.shape[1:]) for k, v in out.items()}
+
+
+def _ax25_flat(data, counts, addresses, max_packets, max_packet_len,
+               min_packet_length, max_packet_length, unroll):
+    K = data.shape[-1]
+    n_bits = K * 8
+
+    def one_block(block_bytes, n_bytes, block_addr):
+        bits = bytes_to_bits_msb(block_bytes).astype(jnp.int32)
+        valid_bit = jnp.arange(n_bits) < n_bytes * 8
+
+        def step(c: _Carry, xs):
+            bit, alive = xs
+            is_one = (bit == 1) & alive
+            is_zero = (bit == 0) & alive
+
+            # '1' branch (ax25.py:33-53)
+            working1 = (c.working | 0x80)
+            one1 = c.one_count + 1
+            bidx1 = c.bit_index + 1
+            abort = one1 > 6
+            bidx1 = jnp.where(abort, 0, bidx1)
+            byte_done1 = bidx1 == 8
+            bidx1 = jnp.where(byte_done1, 0, bidx1)
+            byidx1 = jnp.where(abort, 0, c.byte_index) + jnp.where(byte_done1, 1, 0)
+            over1 = byidx1 > max_packet_length
+            byidx1 = jnp.where(over1, 0, byidx1)
+            out_byte1 = working1
+            working1 = working1 >> 1
+
+            # '0' branch (ax25.py:54-92)
+            dz = c.one_count < 5  # data zero
+            stuffed = c.one_count == 5
+            flag = c.one_count == 6
+            bidx0 = jnp.where(dz, c.bit_index + 1, c.bit_index)
+            byte_done0 = dz & (bidx0 == 8)
+            bidx0 = jnp.where(byte_done0, 0, bidx0)
+            byidx0 = c.byte_index + jnp.where(byte_done0, 1, 0)
+            byidx0 = jnp.where(byidx0 > max_packet_length, 0, byidx0)
+            out_byte0 = c.working
+            working0 = jnp.where(dz, c.working >> 1, c.working)
+            close = flag & (c.byte_index >= min_packet_length) & (c.bit_index == 7)
+            bidx0 = jnp.where(flag, 0, bidx0)
+            byidx0 = jnp.where(flag, 0, byidx0)
+
+            carry = _Carry(
+                working=jnp.where(is_one, working1,
+                                  jnp.where(is_zero, working0, c.working)),
+                one_count=jnp.where(is_one, one1, jnp.where(is_zero, 0, c.one_count)),
+                bit_index=jnp.where(is_one, bidx1,
+                                    jnp.where(is_zero, bidx0, c.bit_index)),
+                byte_index=jnp.where(is_one, byidx1,
+                                     jnp.where(is_zero, byidx0, c.byte_index)),
+            )
+            byte_done = (is_one & byte_done1) | (is_zero & byte_done0)
+            out_byte = jnp.where(is_one, out_byte1, out_byte0) & 0xFF
+            return carry, (byte_done, out_byte, is_zero & flag,
+                           is_zero & close)
+
+        z = jnp.zeros((), jnp.int32)
+        _, (byte_done, byte_val, flag_any, flag_close) = jax.lax.scan(
+            step, _Carry(z, z, z, z), (bits, valid_bit), unroll=unroll
+        )
+
+        # segment id per bit: number of flags strictly before this bit
+        seg = jnp.cumsum(flag_any.astype(jnp.int32)) - flag_any.astype(jnp.int32)
+
+        # compact completed bytes with their segment ids + positions
+        byte_cap = K
+        bpos = jnp.cumsum(byte_done.astype(jnp.int32)) - 1
+        scatter = jnp.where(byte_done, bpos, byte_cap)
+        stream = jnp.zeros((byte_cap,), jnp.int32).at[scatter].add(
+            byte_val, mode="drop")
+        stream_seg = jnp.full((byte_cap,), jnp.int32(2**30)).at[scatter].min(
+            seg, mode="drop")
+        n_stream = jnp.sum(byte_done.astype(jnp.int32))
+
+        # closing flags -> packets
+        fpos = jnp.cumsum(flag_close.astype(jnp.int32)) - 1
+        fscatter = jnp.where(flag_close, fpos, max_packets)
+        bit_ids = jnp.arange(n_bits, dtype=jnp.int32)
+        close_bit = jnp.zeros((max_packets,), jnp.int32).at[fscatter].add(
+            bit_ids, mode="drop")
+        close_seg = jnp.zeros((max_packets,), jnp.int32).at[fscatter].add(
+            seg, mode="drop")
+        n_close = jnp.sum(flag_close.astype(jnp.int32))
+        slot_ok = jnp.arange(max_packets) < n_close
+
+        # bytes of segment s: stream positions where stream_seg == s
+        start = jnp.searchsorted(stream_seg, close_seg)  # (P,)
+        # end: number of bytes completed at/before the closing bit
+        cnt = jnp.cumsum(byte_done.astype(jnp.int32))
+        end = jnp.zeros((max_packets,), jnp.int32).at[fscatter].add(
+            cnt, mode="drop"
+        )
+        length = jnp.clip(end - start, 0, max_packet_len)
+
+        slot = jnp.arange(max_packet_len)[None, :]
+        src = jnp.clip(start[:, None] + slot, 0, byte_cap - 1)
+        pkt = jnp.where(
+            slot < length[:, None], jnp.take(stream, src, mode="clip"), 0
+        )
+        address = jnp.take(block_addr, jnp.clip(close_bit // 8, 0, K - 1)).astype(jnp.int32)
+        ok = slot_ok & (length > 0)
+        calc = crc16_masked(
+            pkt.astype(jnp.uint8), jnp.maximum(length - 2, 0)
+        ).astype(jnp.int32)
+        last = jnp.take_along_axis(pkt, jnp.clip(length - 1, 0, max_packet_len - 1)[:, None], axis=1)[:, 0]
+        second_last = jnp.take_along_axis(pkt, jnp.clip(length - 2, 0, max_packet_len - 1)[:, None], axis=1)[:, 0]
+        carried = last * 256 + second_last
+        return {
+            "packet": pkt,
+            "length": jnp.where(ok, length, 0),
+            "address": jnp.where(ok, address, 0),
+            "ok": ok,
+            "crc_ok": ok & (calc == carried),
+        }
+
+    return jax.vmap(one_block)(data, counts, addresses)

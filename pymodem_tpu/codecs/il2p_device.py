@@ -40,9 +40,12 @@ MAX_BLOCKS = 5  # ceil(1023 / 239), il2p.py:346-358
 MAX_PAYLOAD = 1023
 MAX_AX25_HEADER = 16
 MAX_PACKET_LEN = MAX_AX25_HEADER + MAX_PAYLOAD + 2
-_HAMMING = jnp.asarray(HAMMING74_DECODE.astype(np.int32))
-_PID = jnp.asarray(np.asarray(PID_TABLE, dtype=np.int32))
-_UCTL = jnp.asarray(np.asarray(U_CONTROL, dtype=np.int32))
+# numpy (not jnp): these must stay host constants -- building device arrays
+# at import time leaks tracers when the module is first imported inside a
+# jit trace.
+_HAMMING = HAMMING74_DECODE.astype(np.int32)
+_PID = np.asarray(PID_TABLE, dtype=np.int32)
+_UCTL = np.asarray(U_CONTROL, dtype=np.int32)
 
 
 def _parse_header(buf):
@@ -92,13 +95,13 @@ def _ax25_header(count, pid, control, header_type, ui, dest, dest_ssid,
     sssid = (source_ssid.astype(jnp.int32) << 1) + 0x60 + jnp.where(c_bit, 0, 0x80) + 1
     out = out.at[13].set(sssid)
 
-    u_ctl = _UCTL[jnp.clip(opcode, 0, 7)] | jnp.where(pf_bit, 0x10, 0)
+    u_ctl = jnp.asarray(_UCTL)[jnp.clip(opcode, 0, 7)] | jnp.where(pf_bit, 0x10, 0)
     s_ctl = 0x1 | (opcode << 2) | (nr << 5) | jnp.where(pf_bit, 0x10, 0)
     i_ctl = (ns << 1) | (nr << 5) | jnp.where(pf_bit, 0x10, 0)
     control_byte = jnp.where(is_u | is_ui, u_ctl, jnp.where(is_s, s_ctl, i_ctl))
     out = out.at[14].set(control_byte)
 
-    pid_byte = _PID[jnp.clip(pid, 0, 15)]
+    pid_byte = jnp.asarray(_PID)[jnp.clip(pid, 0, 15)]
     has_pid = pid_byte != 0
     out = out.at[15].set(pid_byte)
     length = jnp.where(header_type == 1, jnp.where(has_pid, 16, 15), 0)
@@ -243,7 +246,7 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
         crc_raw = jax.vmap(lambda pos, off: _pack_bytes_at(bits, pos + 1 + off, 4))(
             cand_pos, crc_off
         )  # (P, 4)
-        nib = _HAMMING[crc_raw & 0x7F]  # (P, 4)
+        nib = jnp.asarray(_HAMMING)[crc_raw & 0x7F]  # (P, 4)
         sh = jnp.asarray([12, 8, 4, 0])
         carried_crc = jnp.sum(nib << sh[None, :], axis=1)
 

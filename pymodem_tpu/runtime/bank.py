@@ -427,6 +427,72 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
     return jax.vmap(one_chain)(params)
 
 
+@partial(jax.jit, static_argnames=("codec_kind", "plan", "max_packets",
+                                   "collect_crc", "disable_rs", "min_distance",
+                                   "min_packet_length", "max_packet_length"))
+def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
+                    max_packets: int = 8, collect_crc: bool = True,
+                    disable_rs: bool = False, min_distance: int = 0,
+                    min_packet_length: int = 18, max_packet_length: int = 1023):
+    """On-device codec stage over bank_device_step outputs: (C, B, cap) byte
+    streams -> fixed-capacity packet buffers (C, B, max_packets, ...).
+
+    Absolute stream addresses are formed on device (block b's demod range
+    starts at b*block_len - overlap)."""
+    from ..codecs.ax25_device import ax25_decode_blocks
+    from ..codecs.il2p_device import il2p_decode_blocks
+
+    n_blocks = data.shape[1]
+    offsets = (
+        jnp.arange(n_blocks, dtype=jnp.int32) * plan.block_len - plan.overlap
+    )
+    addr_abs = addr + offsets[None, :, None]
+    if codec_kind == "il2p":
+        out = il2p_decode_blocks(
+            data.astype(jnp.uint8), sync, count, addr_abs,
+            max_packets=max_packets, collect_crc=collect_crc,
+            disable_rs=disable_rs, min_distance=min_distance,
+        )
+    elif codec_kind == "ax25":
+        out = ax25_decode_blocks(
+            data.astype(jnp.uint8), count, addr_abs, max_packets=max_packets,
+            min_packet_length=min_packet_length,
+            max_packet_length=max_packet_length,
+        )
+    else:
+        raise ValueError(codec_kind)
+    out["packet"] = out["packet"].astype(jnp.uint8)  # shrink the transfer
+    return out
+
+
+def _bank_uniform_codec(bank: Bank):
+    """The (kind, options) shared by every chain of the bank, or None."""
+    from ..config import AX25CodecSpec, IL2PCodecSpec
+
+    codecs = [c.codec for c in bank.specs]
+    first = codecs[0]
+    if isinstance(first, IL2PCodecSpec):
+        key = ("il2p", first.collect_trailing_crc, first.disable_rs,
+               first.min_distance, first.sync_tolerance)
+        same = all(
+            isinstance(c, IL2PCodecSpec)
+            and (c.collect_trailing_crc, c.disable_rs, c.min_distance,
+                 c.sync_tolerance)
+            == key[1:]
+            for c in codecs
+        )
+    elif isinstance(first, AX25CodecSpec):
+        key = ("ax25", first.min_packet_length, first.max_packet_length)
+        same = all(
+            isinstance(c, AX25CodecSpec)
+            and (c.min_packet_length, c.max_packet_length) == key[1:]
+            for c in codecs
+        )
+    else:
+        return None
+    return key if same else None
+
+
 def default_block_plan(n_audio: int, trim: int, sample_rate: float,
                        block_seconds: float = 16.0,
                        overlap_seconds: float = 6.0) -> BlockPlan:
@@ -442,11 +508,18 @@ def default_block_plan(n_audio: int, trim: int, sample_rate: float,
 
 def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                block_seconds: float = 16.0, overlap_seconds: float = 6.0,
-               method: str = "auto", unroll: int = 8):
+               method: str = "auto", unroll: int = 8, codec: str = "host",
+               max_packets_per_block: int = 8):
     """Run a full chain list via banked block-parallel device programs.
 
     Returns {chain_name: list[Packet]} with per-block keep-region filtering
     applied (each packet attributed to exactly one block).
+
+    codec: 'host' runs the reference-exact FSMs on device-computed sync
+    candidates; 'device' runs the batched on-device codecs
+    (codecs/il2p_device.py, codecs/ax25_device.py) when every chain in a
+    bank shares codec options, leaving the host only packet-object
+    conversion and reporting.
     """
     from ..codecs.host import (
         ax25_decode_host,
@@ -480,6 +553,50 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
         )
+        codec_key = _bank_uniform_codec(bank) if codec == "device" else None
+        if codec_key is not None:
+            from ..packets import Packet
+
+            if codec_key[0] == "il2p":
+                out = bank_codec_step(
+                    "il2p", data, addr, count, sync, plan,
+                    max_packets=max_packets_per_block,
+                    collect_crc=codec_key[1], disable_rs=codec_key[2],
+                    min_distance=codec_key[3],
+                )
+            else:
+                out = bank_codec_step(
+                    "ax25", data, addr, count, sync, plan,
+                    max_packets=max_packets_per_block,
+                    min_packet_length=codec_key[1],
+                    max_packet_length=codec_key[2],
+                )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for ci, chain in enumerate(bank.specs):
+                packets = []
+                for b in range(plan.n_blocks):
+                    lo, hi = plan.keep_range(b)
+                    for p in range(max_packets_per_block):
+                        if not out["ok"][ci, b, p]:
+                            continue
+                        address = int(out["address"][ci, b, p])
+                        if not (lo < address <= hi):
+                            continue
+                        length = int(out["length"][ci, b, p])
+                        packets.append(
+                            Packet(
+                                data=[int(v) for v in out["packet"][ci, b, p, :length]],
+                                streamaddress=address,
+                                source_decoder=chain.codec.ident,
+                                bytes_corrected=int(
+                                    out.get("corrected", np.zeros(1))[ci, b, p]
+                                )
+                                if "corrected" in out
+                                else 0,
+                            )
+                        )
+                results[chain.name] = _dedup_block_boundary(packets, chain)
+            continue
         data = np.asarray(data)
         addr = np.asarray(addr)
         count = np.asarray(count)
@@ -524,23 +641,27 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                 packets.extend(
                     p for p in pkts if lo < p.streamaddress <= hi
                 )
-            # Drop block-boundary duplicates: a packet ending within one
-            # byte-phase quantum of a block edge can be claimed by both
-            # neighbouring blocks under different reported addresses.
-            sl = chain.slicer
-            window = 16.0 * sl.sample_rate / sl.symbol_rate
-            packets.sort(key=lambda p: p.streamaddress)
-            deduped = []
-            for p in packets:
-                if (
-                    deduped
-                    and list(p.data) == list(deduped[-1].data)
-                    and p.streamaddress - deduped[-1].streamaddress < window
-                ):
-                    continue
-                deduped.append(p)
-            results[chain.name] = deduped
+            results[chain.name] = _dedup_block_boundary(packets, chain)
     return results
+
+
+def _dedup_block_boundary(packets, chain):
+    """Drop block-boundary duplicates: a packet ending within one byte-phase
+    quantum of a block edge can be claimed by both neighbouring blocks under
+    different reported addresses."""
+    sl = chain.slicer
+    window = 16.0 * sl.sample_rate / sl.symbol_rate
+    packets.sort(key=lambda p: p.streamaddress)
+    deduped = []
+    for p in packets:
+        if (
+            deduped
+            and list(p.data) == list(deduped[-1].data)
+            and p.streamaddress - deduped[-1].streamaddress < window
+        ):
+            continue
+        deduped.append(p)
+    return deduped
 
 
 def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,

@@ -72,3 +72,22 @@ def test_banked_decode_parity(fixture_audio, config, golden):
     window = rate / 40 + 8 * (8000 / 300)  # dedup window + byte-phase shift
     for (addr, _), (gold_addr, _) in zip(ours, golden):
         assert abs(addr - gold_addr) < window
+
+
+def test_banked_device_codec_parity(fixture_audio):
+    """codec='device' matches codec='host' on the fixture (PLL + correlator)."""
+    from pymodem_tpu.runtime.bank import run_banked
+
+    path = os.path.join(CONFIG_DIR, "afsk_300.json")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    chains = [c for c in plan.chains
+              if c.name in ("AFSK 300 Il2Pc PLL inverted", "AFSK 300 Il2Pc Correlator")]
+    host = run_banked(chains, audio, codec="host")
+    device = run_banked(chains, audio, codec="device")
+    for name in host:
+        a = [(p.streamaddress, list(p.data), p.bytes_corrected) for p in host[name]]
+        b = [(p.streamaddress, list(p.data), p.bytes_corrected) for p in device[name]]
+        assert a == b, name
