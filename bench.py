@@ -10,7 +10,10 @@ from device-computed sync candidates.
 
 Metric: aggregate chain-Msamples/s/chip, steady state (the persistent
 compilation cache makes compile a one-time cost; the driver's first run on
-a cold cache pays it once).  Baseline: the reference's measured aggregate
+a cold cache pays it once).  Codec stage: device syncword scan + host FSM
+from candidates (the fully-on-device codec path exists behind
+run_banked(codec='device'); its candidate compaction is not yet tuned, so
+the hybrid is the faster end-to-end config).  Baseline: the reference's measured aggregate
 on its own 5-chain config, 0.33 Msamples/s on 1 vCPU (BASELINE.md) -- its
 best measured aggregate, per-process-parallel.
 
@@ -23,10 +26,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N_CHAINS = 16
+N_CHAINS = 64
 TILES = 4
 BASELINE_AGG_MSPS = 0.33  # reference aggregate Msamples/s (BASELINE.md)
-EXPECTED_PACKETS = 151  # 16-chain sweep over the tiled fixture
+EXPECTED_PACKETS = 188  # space-gain sweep: only near-unity-gain chains decode the noisy fixture
 
 
 def main() -> int:
@@ -49,20 +52,20 @@ def main() -> int:
     chains = [
         replace(
             base, name=f"s{i}",
-            modem=replace(base.modem, space_gain=0.7 + 0.02 * i),
+            modem=replace(base.modem, space_gain=0.7 + 0.005 * i),
         )
         for i in range(N_CHAINS)
     ]
     tiled = np.tile(audio, TILES)
 
     # Warmup: compile (or load from the persistent cache).
-    packets = run_banked(chains, tiled)
+    packets = run_banked(chains, tiled, codec="host")
     n_packets = sum(len(v) for v in packets.values())
 
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        run_banked(chains, tiled)
+        run_banked(chains, tiled, codec="host")
         best = min(best, time.time() - t0)
 
     chain_samples = N_CHAINS * len(tiled)

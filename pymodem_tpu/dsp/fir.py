@@ -80,7 +80,20 @@ def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Arr
     n = x.shape[-1]
     t = taps.shape[-1]
     if method == "auto":
-        method = "direct" if x.dtype == jnp.float64 else "fft"
+        if x.dtype == jnp.float64:
+            method = "direct"
+        elif t <= 32:
+            # short taps (e.g. the 7-8 tap AFSK tone correlators): t fused
+            # shift-multiply-adds beat any FFT in both flops and memory
+            method = "shift"
+        else:
+            method = "fft"
+    if method == "shift":
+        nout = n - t + 1
+        acc = taps[..., t - 1] * x[..., 0:nout]
+        for j in range(t - 1):
+            acc = acc + taps[..., j] * x[..., t - 1 - j : t - 1 - j + nout]
+        return acc
     if method == "direct":
         batch = x.shape[:-1]
         lhs = x.reshape(-1, 1, n)  # (N, C=1, W)
@@ -110,8 +123,13 @@ def fir_valid_multi(x: jax.Array, taps_stack: jax.Array,
     """
     k, t = taps_stack.shape
     if method == "auto":
-        method = "direct" if x.dtype == jnp.float64 else "fft"
-    if method == "direct":
+        if x.dtype == jnp.float64:
+            method = "direct"
+        elif t <= 32:
+            method = "shift"
+        else:
+            method = "fft"
+    if method in ("direct", "shift"):
         return jnp.stack([fir_valid_nd(x, taps_stack[i], method) for i in range(k)])
     frames, fft_size, nout = _os_frame(x, t)
     hop = fft_size - t + 1

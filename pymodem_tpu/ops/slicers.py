@@ -6,10 +6,10 @@ sample, a symbol decision fires when it crosses ``rollover_threshold``
 input multiplies the clock by ``lock_rate`` to pull it toward alignment
 (slicer.py:59-107 binary, :193-242 quadrature, :329-441 four-level).
 
-Device formulation: the scan emits one (valid, byte, address) slot per input
-sample; a byte slot is valid on the sample that completed 8 bits.  Emitted
-slots are then compacted into a dense byte stream with a cumsum/scatter --
-no dynamic shapes anywhere.  Stream addresses are 1-based sample indices of
+Device formulation: the scan emits one (valid, byte) slot per input sample;
+a byte slot is valid on the sample that completed 8 bits.  Emitted slots are
+then compacted into a dense byte stream with a windowed reduce + small
+cumsum/scatter -- no dynamic shapes anywhere.  Stream addresses are 1-based sample indices of
 the modem-output stream (slicer.py:75), the cross-chain correlation key.
 """
 
@@ -23,19 +23,59 @@ import jax.numpy as jnp
 
 
 class SlicerOut(NamedTuple):
+    """Per-sample emission stream.  Stream addresses are NOT materialized:
+    an emission's address is its sample position + 1 (slicer.py:75), which
+    compact_bytes reconstructs -- emitting them from the scan would add a
+    (N,) int32 output buffer per lane for pure index data."""
+
     valid: jax.Array  # (N,) bool -- a completed byte was emitted at this sample
-    byte: jax.Array  # (N,) int32
-    address: jax.Array  # (N,) int32
+    byte: jax.Array  # (N,) uint8
 
 
-def compact_bytes(out: SlicerOut, capacity: int):
-    """Pack valid slots into dense (bytes, addresses, count) arrays."""
-    idx = jnp.cumsum(out.valid.astype(jnp.int32)) - 1
-    pos = jnp.where(out.valid, idx, capacity)  # invalid slots dropped
-    data = jnp.zeros((capacity,), jnp.int32).at[pos].add(out.byte, mode="drop")
-    addr = jnp.zeros((capacity,), jnp.int32).at[pos].add(out.address, mode="drop")
-    count = jnp.sum(out.valid.astype(jnp.int32))
+def compact_bytes(out: SlicerOut, capacity: int, window: int = 1):
+    """Pack valid slots into dense (bytes, addresses, count) arrays.
+
+    ``window``: when > 1, emissions are first reduced over non-overlapping
+    windows of that many samples (each window may contain at most one
+    emission -- a byte needs >= 8/bits_per_symbol symbol periods, so any
+    window below that spacing is safe; see safe_compact_window).  The
+    scatter then runs over N/window elements instead of N, which is the
+    difference between the scatter dominating the device step and being
+    free on TPU.
+    """
+    valid, byte = out.valid, out.byte.astype(jnp.int32)
+    n = valid.shape[-1]
+    if window > 1:
+        pad = (-n) % window
+        if pad:
+            valid = jnp.pad(valid, (0, pad))
+            byte = jnp.pad(byte, (0, pad))
+        v = valid.reshape(-1, window)
+        byte = jnp.sum(jnp.where(v, byte.reshape(-1, window), 0), axis=1)
+        base = jnp.arange(v.shape[0], dtype=jnp.int32) * window
+        address = base + jnp.argmax(v, axis=1).astype(jnp.int32) + 1
+        valid = jnp.any(v, axis=1)
+    else:
+        address = jnp.arange(1, valid.shape[-1] + 1, dtype=jnp.int32)
+    idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    pos = jnp.where(valid, idx, capacity)  # invalid slots dropped
+    data = jnp.zeros((capacity,), jnp.int32).at[pos].add(byte, mode="drop")
+    addr = jnp.zeros((capacity,), jnp.int32).at[pos].add(
+        jnp.where(valid, address, 0), mode="drop")
+    count = jnp.sum(valid.astype(jnp.int32))
     return data, addr, count
+
+
+def safe_compact_window(samples_per_symbol: float, lock_rate: float,
+                        bits_per_symbol: int) -> int:
+    """Largest power-of-two window guaranteed to hold at most one byte
+    emission: a byte takes 8/bps symbol decisions, each at least
+    ~samples_per_symbol * lock_rate samples after the previous."""
+    spacing = (8.0 / bits_per_symbol) * samples_per_symbol * lock_rate
+    w = 1
+    while w * 2 <= max(spacing * 0.45, 1.0):
+        w *= 2
+    return min(w, 256)
 
 
 class _BinaryCarry(NamedTuple):
@@ -43,7 +83,6 @@ class _BinaryCarry(NamedTuple):
     working_byte: jax.Array
     bit_count: jax.Array
     last_sample: jax.Array
-    address: jax.Array
 
 
 @partial(jax.jit, static_argnames=("unroll",))
@@ -54,7 +93,6 @@ def binary_slice(samples: jax.Array, samples_per_symbol: jax.Array,
     rollover = samples_per_symbol / 2.0 - 0.5
 
     def step(c: _BinaryCarry, x):
-        address = c.address + 1
         clock = c.phase_clock + 1.0
         decide = clock >= rollover
         clock = jnp.where(decide, clock - samples_per_symbol, clock)
@@ -65,12 +103,12 @@ def binary_slice(samples: jax.Array, samples_per_symbol: jax.Array,
         bit_count = jnp.where(emit, 0, bit_count)
         crossing = ((c.last_sample < 0.0) & (x >= 0.0)) | ((c.last_sample >= 0.0) & (x < 0.0))
         clock = jnp.where(crossing, clock * lock_rate, clock)
-        carry = _BinaryCarry(clock, byte, bit_count, x, address)
-        return carry, SlicerOut(emit, byte, address)
+        carry = _BinaryCarry(clock, byte, bit_count, x)
+        return carry, SlicerOut(emit, byte.astype(jnp.uint8))
 
     init = _BinaryCarry(
         jnp.zeros((), dtype), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-        jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
+        jnp.zeros((), dtype),
     )
     _, out = jax.lax.scan(step, init, samples, unroll=unroll)
     return out
@@ -83,7 +121,6 @@ class _QuadCarry(NamedTuple):
     last_i: jax.Array
     last_q: jax.Array
     state_register: jax.Array
-    address: jax.Array
 
 
 @partial(jax.jit, static_argnames=("bits_per_symbol", "unroll"))
@@ -97,7 +134,6 @@ def quadrature_slice(i_samples: jax.Array, q_samples: jax.Array,
 
     def step(c: _QuadCarry, xs):
         xi, xq = xs
-        address = c.address + 1
         clock = c.phase_clock + 1.0
         decide = clock >= rollover
         clock = jnp.where(decide, clock - samples_per_symbol, clock)
@@ -119,13 +155,12 @@ def quadrature_slice(i_samples: jax.Array, q_samples: jax.Array,
             | ((c.last_q < 0.0) & (xq >= 0.0)) | ((c.last_q >= 0.0) & (xq < 0.0))
         )
         clock = jnp.where(crossing, clock * lock_rate, clock)
-        carry = _QuadCarry(clock, byte, bit_count, xi, xq, state, address)
-        return carry, SlicerOut(emit, out_byte, address)
+        carry = _QuadCarry(clock, byte, bit_count, xi, xq, state)
+        return carry, SlicerOut(emit, out_byte.astype(jnp.uint8))
 
     init = _QuadCarry(
         jnp.zeros((), dtype), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
         jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.int32),
     )
     _, out = jax.lax.scan(step, init, (i_samples, q_samples), unroll=unroll)
     return out
@@ -141,7 +176,6 @@ class _FourLevelCarry(NamedTuple):
     threshold: jax.Array
     ring: jax.Array  # (8,) threshold sample ring buffer
     ring_index: jax.Array
-    address: jax.Array
 
 
 @partial(jax.jit, static_argnames=("unroll",))
@@ -161,7 +195,6 @@ def four_level_slice(samples: jax.Array, samples_per_symbol: jax.Array,
     depth = 8
 
     def step(c: _FourLevelCarry, x):
-        address = c.address + 1
         clock1 = c.clock1 + 1.0
         roll1 = clock1 > rollover
         clock1 = jnp.where(roll1, clock1 - samples_per_symbol, clock1)
@@ -194,14 +227,14 @@ def four_level_slice(samples: jax.Array, samples_per_symbol: jax.Array,
         crossing = ((c.last_sample < 0.0) & (x >= 0.0)) | ((c.last_sample >= 0.0) & (x < 0.0))
         clock1 = jnp.where(crossing, clock1 * lock_rate, clock1)
         carry = _FourLevelCarry(clock1, clock2, byte, bit_count, x, sync, threshold,
-                                ring, ring_index, address)
-        return carry, SlicerOut(emit, byte, address)
+                                ring, ring_index)
+        return carry, SlicerOut(emit, byte.astype(jnp.uint8))
 
     init = _FourLevelCarry(
         jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32), jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
         jnp.asarray(initial_threshold, dtype), jnp.zeros((depth,), dtype),
-        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
     )
     _, out = jax.lax.scan(step, init, samples, unroll=unroll)
     return out

@@ -338,7 +338,7 @@ def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
 
 
 def slice_blocks(slicer_kind: str, params, baseband, capacity: int,
-                 unroll: int):
+                 unroll: int, window: int = 1):
     """Run the slicer over (B, L) baseband -> dense (B, cap) byte/addr arrays."""
     if slicer_kind == "binary":
         out = jax.vmap(
@@ -362,7 +362,7 @@ def slice_blocks(slicer_kind: str, params, baseband, capacity: int,
         )(baseband)
     else:
         raise ValueError(slicer_kind)
-    return jax.vmap(lambda o: compact_bytes(o, capacity))(out)
+    return jax.vmap(lambda o: compact_bytes(o, capacity, window))(out)
 
 
 # ---------------------------------------------------------------------------
@@ -371,10 +371,22 @@ def slice_blocks(slicer_kind: str, params, baseband, capacity: int,
 
 
 def _slicer_static(bank: Bank) -> dict:
+    from ..ops.slicers import safe_compact_window
+
     sl = bank.specs[0].slicer
+    bps = getattr(sl, "bits_per_symbol", 2 if sl.kind == "4level" else 1)
+    window = min(
+        safe_compact_window(
+            c.slicer.sample_rate / c.slicer.symbol_rate, c.slicer.lock_rate,
+            getattr(c.slicer, "bits_per_symbol",
+                    2 if c.slicer.kind == "4level" else 1),
+        )
+        for c in bank.specs
+    )
     return {
         "state_mask": getattr(sl, "state_mask", 0),
         "bits_per_symbol": getattr(sl, "bits_per_symbol", 1),
+        "compact_window": window,
     }
 
 
@@ -390,12 +402,13 @@ def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "plan", "capacity",
                                    "poly", "invert", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
-                                   "method", "unroll"))
+                                   "method", "unroll", "compact_window"))
 def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
                      plan: BlockPlan, capacity: int, poly: int, invert: bool,
                      slicer_static_mask: int, slicer_static_bps: int,
                      sync_tolerance: int = 0,
-                     method: str = "auto", unroll: int = 8):
+                     method: str = "auto", unroll: int = 8,
+                     compact_window: int = 1):
     """One bank's full device program: audio (n,) -> per-chain packets' raw
     material (C, B, cap) bytes + addresses + counts + packed IL2P syncword
     candidate map (C, B, cap) uint8.
@@ -417,7 +430,8 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
         }
         baseband = demod_blocks(kind, chain_params, blocks, method, unroll)
         data, addr, count = slice_blocks(
-            slicer_kind, chain_params, baseband, capacity, unroll
+            slicer_kind, chain_params, baseband, capacity, unroll,
+            compact_window,
         )
         if poly not in (0, 1) or invert:
             data = descramble_bytes(data.astype(jnp.uint8), poly, invert)
@@ -552,6 +566,7 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
             jnp.asarray(audio, dtype), plan, cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
+            st["compact_window"],
         )
         codec_key = _bank_uniform_codec(bank) if codec == "device" else None
         if codec_key is not None:

@@ -36,6 +36,7 @@ from ..ops.slicers import (
     compact_bytes,
     four_level_slice,
     quadrature_slice,
+    safe_compact_window,
 )
 from ..packets import Packet, PacketAggregate
 
@@ -71,7 +72,8 @@ def run_slicer(spec, baseband, unroll: int = 8):
     else:
         raise ValueError(type(spec))
     capacity = _slice_capacity(n, sps, bps)
-    return compact_bytes(out, capacity)
+    window = safe_compact_window(sps, spec.lock_rate, bps)
+    return compact_bytes(out, capacity, window)
 
 
 def run_chain(spec: ChainSpec, audio: np.ndarray, dtype=None,

@@ -87,7 +87,8 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
                       audio: jax.Array, plan: BlockPlan, capacity: int,
                       poly: int, invert: bool, slicer_static_mask: int,
                       slicer_static_bps: int, sync_tolerance: int = 0,
-                      method: str = "auto", unroll: int = 8):
+                      method: str = "auto", unroll: int = 8,
+                      compact_window: int = 1):
     """jit(shard_map(...)) of the full bank program over the mesh.
 
     params leaves are sharded on their leading chain axis; the block axis is
@@ -125,7 +126,8 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
             }
             baseband = _shard_demod_blocks(kind, chain_params, blocks, method, unroll)
             data, addr, count = slice_blocks(
-                slicer_kind, chain_params, baseband, capacity, unroll
+                slicer_kind, chain_params, baseband, capacity, unroll,
+                compact_window,
             )
             if poly not in (0, 1) or invert:
                 data = descramble_bytes(data.astype(jnp.uint8), poly, invert)
@@ -210,6 +212,7 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
             jnp.asarray(audio, dtype), plan, cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
+            st["compact_window"],
         )
         data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
         for ci, chain in enumerate(bank.specs):
