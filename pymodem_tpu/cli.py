@@ -36,8 +36,17 @@ def main(argv=None) -> int:
     enable_compilation_cache()
 
     from .config import load_plan
-    from .runtime.executor import run_plan
     from .wav_io import read_wav
+
+    runtime = os.environ.get("PYMODEM_TPU_RUNTIME", "auto")
+    if runtime == "auto":
+        # banked block-parallel programs on accelerators; the sequential
+        # reference-parity path for f64/CPU runs
+        runtime = "sequential" if jax.config.jax_enable_x64 else "banked"
+    if runtime == "banked":
+        from .runtime.bank import run_plan_banked as run_plan
+    else:
+        from .runtime.executor import run_plan
 
     try:
         sample_rate, audio = read_wav(argv[2])

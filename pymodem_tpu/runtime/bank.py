@@ -681,7 +681,8 @@ def _dedup_block_boundary(packets, chain):
 
 def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
                     block_seconds: float = 16.0, overlap_seconds: float = 6.0,
-                    method: str = "auto", unroll: int = 8):
+                    method: str = "auto", unroll: int = 8,
+                    codec: str = "host", verbose: bool = False):
     """Banked analog of executor.run_plan: full plan -> aggregated report.
 
     Chain order in the aggregate follows the config file (deterministic),
@@ -690,9 +691,12 @@ def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
     from ..packets import PacketAggregate
     from .executor import RunResult
 
+    if verbose:
+        print(f"banked runtime: {len(plan.chains)} chains")
     by_name = run_banked(
         plan.chains, audio, dtype=dtype, block_seconds=block_seconds,
         overlap_seconds=overlap_seconds, method=method, unroll=unroll,
+        codec=codec,
     )
     aggregate = PacketAggregate()
     for chain in plan.chains:
