@@ -418,9 +418,27 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
     positions.  vmapped over the chain axis of ``params``; everything inside
     is batched over the block axis.
     """
-    from ..ops.sync import il2p_sync_candidates
-
     blocks = frame_blocks(audio, plan)
+    return bank_device_step_frames(
+        kind, slicer_kind, params, blocks, capacity, poly, invert,
+        slicer_static_mask, slicer_static_bps, sync_tolerance, method,
+        unroll, compact_window,
+    )
+
+
+@partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "poly",
+                                   "invert", "slicer_static_mask",
+                                   "slicer_static_bps", "sync_tolerance",
+                                   "method", "unroll", "compact_window"))
+def bank_device_step_frames(kind: str, slicer_kind: str, params,
+                            blocks: jax.Array, capacity: int, poly: int,
+                            invert: bool, slicer_static_mask: int,
+                            slicer_static_bps: int, sync_tolerance: int = 0,
+                            method: str = "auto", unroll: int = 8,
+                            compact_window: int = 1):
+    """bank_device_step on pre-framed (B, Lin) blocks -- the streaming entry
+    point, where the host carries the overlap+trim tail between feeds."""
+    from ..ops.sync import il2p_sync_candidates
 
     def one_chain(chain_params):
         chain_params = dict(chain_params)
@@ -627,37 +645,58 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                 # which starts at absolute index b*block_len - overlap.
                 offset = b * plan.block_len - plan.overlap
                 block_addr = addr[ci, b, :n].astype(np.int64) + offset
-                codec = chain.codec
-                if isinstance(codec, AX25CodecSpec):
-                    pkts = ax25_decode_host(
-                        block_bytes, block_addr, codec.ident,
-                        min_packet_length=codec.min_packet_length,
-                        max_packet_length=codec.max_packet_length,
-                    )
-                elif isinstance(codec, IL2PCodecSpec):
-                    if not sync[ci, b, :n].any() and not il2p_seeded_sync_possible(
-                        data[ci, b, :4], codec.sync_tolerance
-                    ):
-                        continue  # no sync can fire anywhere in this block
-                    candidates = np.flatnonzero(
-                        np.unpackbits(sync[ci, b, :n])
-                    )
-                    pkts = il2p_decode_host(
-                        block_bytes, block_addr, codec.ident,
-                        collect_trailing_crc=codec.collect_trailing_crc,
-                        disable_rs=codec.disable_rs,
-                        min_distance=codec.min_distance,
-                        sync_tolerance=codec.sync_tolerance,
-                        sync_candidates=candidates,
-                    )
-                else:
-                    raise ValueError(type(codec))
+                pkts = host_decode_block(
+                    chain, block_bytes, block_addr, sync[ci, b]
+                )
                 lo, hi = plan.keep_range(b)
                 packets.extend(
                     p for p in pkts if lo < p.streamaddress <= hi
                 )
             results[chain.name] = _dedup_block_boundary(packets, chain)
     return results
+
+
+
+
+def host_decode_block(chain: ChainSpec, block_bytes: np.ndarray,
+                      block_addr: np.ndarray, sync_row: np.ndarray | None):
+    """Run a chain's codec FSM over one block's byte stream (host side).
+
+    ``sync_row``: packed IL2P sync-candidate bitmap for the block's bytes,
+    or None to rescan on host.  Returns the block's packets (unfiltered).
+    """
+    from ..codecs.host import (
+        ax25_decode_host,
+        il2p_decode_host,
+        il2p_seeded_sync_possible,
+    )
+    from ..config import AX25CodecSpec, IL2PCodecSpec
+
+    codec = chain.codec
+    n = len(block_bytes)
+    if isinstance(codec, AX25CodecSpec):
+        return ax25_decode_host(
+            block_bytes, block_addr, codec.ident,
+            min_packet_length=codec.min_packet_length,
+            max_packet_length=codec.max_packet_length,
+        )
+    if isinstance(codec, IL2PCodecSpec):
+        candidates = None
+        if sync_row is not None:
+            if not sync_row[:n].any() and not il2p_seeded_sync_possible(
+                block_bytes[:4], codec.sync_tolerance
+            ):
+                return []
+            candidates = np.flatnonzero(np.unpackbits(sync_row[:n]))
+        return il2p_decode_host(
+            block_bytes, block_addr, codec.ident,
+            collect_trailing_crc=codec.collect_trailing_crc,
+            disable_rs=codec.disable_rs,
+            min_distance=codec.min_distance,
+            sync_tolerance=codec.sync_tolerance,
+            sync_candidates=candidates,
+        )
+    raise ValueError(type(codec))
 
 
 def _dedup_block_boundary(packets, chain):

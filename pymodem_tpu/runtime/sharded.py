@@ -59,7 +59,14 @@ def _shard_demod_blocks(kind, chain_params, blocks, method, unroll):
     # Coherent families: replicate demod_blocks' structure with the global
     # max collected across time shards before the AGC scan.
     from ..dsp.fir import fir_valid_nd
-    from ..dsp.loops import afsk_pll, bpsk_costas
+    from ..dsp.loops import (
+        MPSKLoopParams,
+        QPSKLoopParams,
+        afsk_pll,
+        bpsk_costas,
+        mpsk_loop,
+        qpsk_costas,
+    )
 
     m = chain_params["modem"]
     x = fir_valid_nd(blocks, m["input_bpf"], method)
@@ -75,12 +82,34 @@ def _shard_demod_blocks(kind, chain_params, blocks, method, unroll):
             lambda row: bpsk_costas(row, bank_mod._loop_from(chain_params), unroll=unroll)
         )(x)
         return fir_valid_nd(demod, m["rrc"], method)
-    # qpsk / mpsk: per-block AGC max differs from the global only in the
-    # rare case the recording max sits in another shard's exclusive region;
-    # route through the same collective pattern.
-    raise NotImplementedError(
-        f"sharded coherent family {kind!r}: add its loop like afsk_pll/bpsk"
-    )
+    if kind == "qpsk":
+        loop = QPSKLoopParams(
+            base=bank_mod._loop_from(chain_params),
+            branch_b0=chain_params["branch_b0"],
+            branch_a1=chain_params["branch_a1"],
+        )
+        i_data, q_data = jax.vmap(lambda row: qpsk_costas(row, loop, unroll=unroll))(x)
+        return (
+            fir_valid_nd(i_data, m["rrc"], method),
+            fir_valid_nd(q_data, m["rrc"], method),
+        )
+    if kind == "mpsk":
+        imag = fir_valid_nd(x, m["hilbert"], method)
+        delay = (m["hilbert"].shape[-1] - 1) // 2
+        real = x[..., delay:-delay] if delay else x
+        loop = MPSKLoopParams(
+            base=bank_mod._loop_from(chain_params),
+            pd_table=m["pd_table"],
+            pd_granularity=chain_params["pd_granularity"],
+        )
+        i_data, q_data = jax.vmap(
+            lambda re, im: mpsk_loop(re, im, loop, unroll=unroll)
+        )(real, imag)
+        return (
+            fir_valid_nd(i_data, m["rrc"], method),
+            fir_valid_nd(q_data, m["rrc"], method),
+        )
+    raise ValueError(kind)
 
 
 def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,

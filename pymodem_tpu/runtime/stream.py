@@ -1,0 +1,230 @@
+"""Streaming decode: unbounded recordings in bounded memory.
+
+The reference loads the whole WAV into every chain process (pymodem.py:46,
+145) -- memory and latency scale with file length and there is no
+checkpoint/resume (SURVEY.md section 5).  Here the block runtime's carry
+structure becomes a streaming API: feed audio chunks of any size; whenever
+enough samples accumulate for a fixed group of blocks, one compiled device
+step (always the same shapes, so it compiles exactly once) decodes them; the
+host retains only the ``overlap + trim`` tail between steps.  Stream
+addresses are global, so packets are identical to a one-shot decode of the
+concatenated audio (asserted in tests/test_stream.py).
+
+The decoder state between feeds is a plain (offset, tail) pair per bank --
+serializable, i.e. a natural checkpoint for multi-hour streams.
+
+Note on AGC semantics: the reference's AGC scales by the max over the WHOLE
+recording (agc.py:67) -- inherently non-causal.  A stream normalizes per
+step group instead, which can shift coherent chains' lock byte phase by up
+to one byte period relative to a one-shot decode; packet contents are
+unaffected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bank as bank_mod
+from .bank import (
+    Bank,
+    BlockPlan,
+    _dedup_block_boundary,
+    _slicer_static,
+    bank_capacity,
+    bank_device_step_frames,
+    host_decode_block,
+)
+from ..config import IL2PCodecSpec
+
+
+@dataclass
+class _BankState:
+    bank: Bank
+    plan: BlockPlan  # geometry template (block_len / overlap / trim)
+    capacity: int
+    static: dict
+    sync_tol: int
+    next_block: int = 0  # index of the next undecoded block
+
+
+class StreamDecoder:
+    """Incremental decoder over a fixed chain list.
+
+    >>> dec = StreamDecoder(chains, sample_rate=8000)
+    >>> for chunk in chunks:
+    ...     packets += dec.feed(chunk)
+    >>> packets += dec.flush()
+    """
+
+    def __init__(self, chains, sample_rate: float, dtype=None,
+                 block_seconds: float = 4.0, overlap_seconds: float = 2.0,
+                 blocks_per_step: int = 4, method: str = "auto",
+                 unroll: int = 8):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        self.method = method
+        self.unroll = unroll
+        self.blocks_per_step = blocks_per_step
+        self.block_len = max(int(block_seconds * sample_rate), 1)
+        self.overlap = int(overlap_seconds * sample_rate)
+        self._audio = np.zeros(0, dtype=np.float64)
+        self._consumed = 0  # absolute index of self._audio[0]
+        self._banks = []
+        for bank in bank_mod.group_chains(list(chains), dtype):
+            plan = BlockPlan(
+                n_audio=0, trim=bank.trim, block_len=self.block_len,
+                overlap=self.overlap,
+            )
+            st = _slicer_static(bank)
+            cap_plan = BlockPlan(
+                n_audio=self.block_len + self.overlap + bank.trim,
+                trim=bank.trim, block_len=self.block_len, overlap=self.overlap,
+            )
+            self._banks.append(
+                _BankState(
+                    bank=bank, plan=plan, capacity=bank_capacity(bank, cap_plan),
+                    static=st,
+                    sync_tol=max(
+                        (
+                            getattr(c.codec, "sync_tolerance", 0)
+                            for c in bank.specs
+                            if isinstance(c.codec, IL2PCodecSpec)
+                        ),
+                        default=0,
+                    ),
+                )
+            )
+        self._results: dict[str, list] = {
+            c.name: [] for c in chains
+        }
+        self._total = 0  # absolute samples received
+
+    def _frames_for(self, state: _BankState, first_block: int, n_blocks: int,
+                    pad_to: int | None = None):
+        """Gather (n_blocks, Lin) input windows from the retained audio."""
+        lin = state.plan.block_input_len
+        out = np.zeros((n_blocks, lin), dtype=np.float64)
+        for i in range(n_blocks):
+            b = first_block + i
+            a0 = b * self.block_len - self.overlap  # absolute input start
+            for_block = np.zeros(lin, dtype=np.float64)
+            lo = max(a0, 0)
+            hi = min(a0 + lin, self._total)
+            if hi > lo:
+                rel = lo - self._consumed
+                for_block[lo - a0 : hi - a0] = self._audio[rel : rel + (hi - lo)]
+            out[i] = for_block
+        return out
+
+    def _decode_blocks(self, state: _BankState, first_block: int,
+                       n_blocks: int, final: bool):
+        frames = self._frames_for(state, first_block, n_blocks)
+        pad = self.blocks_per_step - n_blocks
+        if pad > 0:
+            frames = np.concatenate(
+                [frames, np.zeros((pad, frames.shape[1]))], axis=0
+            )
+        data, addr, count, sync = bank_device_step_frames(
+            state.bank.kind, state.bank.slicer_kind, state.bank.params,
+            jnp.asarray(frames, self.dtype), state.capacity,
+            state.bank.stream_poly, state.bank.stream_invert,
+            state.static["state_mask"], state.static["bits_per_symbol"],
+            state.sync_tol, self.method, self.unroll,
+            state.static["compact_window"],
+        )
+        data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
+        n_demod_total = self._total - state.plan.trim
+        out: dict[str, list] = {}
+        for ci, chain in enumerate(state.bank.specs):
+            new_pkts = []
+            for i in range(n_blocks):
+                b = first_block + i
+                n = int(count[ci, i])
+                if n == 0:
+                    continue
+                offset = b * self.block_len - self.overlap
+                pkts = host_decode_block(
+                    chain,
+                    data[ci, i, :n].astype(np.int64),
+                    addr[ci, i, :n].astype(np.int64) + offset,
+                    sync[ci, i],
+                )
+                lo = b * self.block_len
+                hi = (b + 1) * self.block_len
+                if final:
+                    hi = min(hi, max(n_demod_total, 0)) if b * self.block_len < n_demod_total else hi
+                new_pkts.extend(p for p in pkts if lo < p.streamaddress <= hi)
+            out[chain.name] = new_pkts
+        return out
+
+    def feed(self, chunk: np.ndarray) -> list:
+        """Append samples; decode every block that is now complete.
+
+        Returns newly decoded packets (globally addressed, deduplicated
+        against block-boundary repeats)."""
+        chunk = np.asarray(chunk, dtype=np.float64)
+        self._audio = np.concatenate([self._audio, chunk])
+        self._total += len(chunk)
+        fresh: list = []
+        min_needed_from = self._total  # lowest absolute sample still needed
+        for state in self._banks:
+            # block b needs input through b*L + L + trim - 1
+            while True:
+                upcoming = range(
+                    state.next_block,
+                    state.next_block + self.blocks_per_step,
+                )
+                last = upcoming[-1]
+                need = (last + 1) * self.block_len + state.plan.trim
+                if need > self._total:
+                    break
+                decoded = self._decode_blocks(
+                    state, state.next_block, self.blocks_per_step, final=False
+                )
+                state.next_block += self.blocks_per_step
+                for name, pkts in decoded.items():
+                    self._results[name].extend(pkts)
+                    fresh.extend(pkts)
+            needed_from = state.next_block * self.block_len - self.overlap
+            min_needed_from = min(min_needed_from, max(needed_from, 0))
+        # drop audio no bank will read again
+        drop = min_needed_from - self._consumed
+        if drop > 0:
+            self._audio = self._audio[drop:]
+            self._consumed += drop
+        return fresh
+
+    def flush(self) -> list:
+        """Decode the final partial blocks; returns the remaining packets."""
+        fresh: list = []
+        for state in self._banks:
+            n_demod = self._total - state.plan.trim
+            last_block = max(-(-n_demod // self.block_len) - 1, -1)
+            if last_block < state.next_block:
+                continue
+            n_blocks = last_block - state.next_block + 1
+            for start in range(state.next_block, last_block + 1,
+                               self.blocks_per_step):
+                n = min(self.blocks_per_step, last_block - start + 1)
+                decoded = self._decode_blocks(state, start, n, final=True)
+                for name, pkts in decoded.items():
+                    self._results[name].extend(pkts)
+                    fresh.extend(pkts)
+            state.next_block = last_block + 1
+        return fresh
+
+    def packets(self) -> dict[str, list]:
+        """All packets so far, per chain, block-boundary deduplicated."""
+        out = {}
+        name_to_chain = {
+            c.name: c for st in self._banks for c in st.bank.specs
+        }
+        for name, pkts in self._results.items():
+            out[name] = _dedup_block_boundary(list(pkts), name_to_chain[name])
+        return out

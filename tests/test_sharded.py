@@ -75,3 +75,45 @@ def test_pll_sharded_collective(fixture_audio):
         assert a == b
         total += len(b)
     assert total > 0
+
+
+def test_qpsk_sharded_matches_single(rng):
+    """IQ family (quadrature slicer) through the sharded path."""
+    from pymodem_tpu.config import (
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+        QuadratureSlicerSpec,
+        _qpsk_preset,
+    )
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    sent = fx.payloads(rng, count=4, size=30)
+    line = fx.il2p_line_bits(sent, polynomial=0x1, invert=False, gap_bits=2000)
+    spec = _qpsk_preset("2400", 44100.0)
+    audio = mod.qpsk_modulate(line, 44100.0, 1200.0, spec.carrier_freq)
+    chains = [
+        ChainSpec(
+            name=f"q{i}",
+            modem=spec,
+            slicer=QuadratureSlicerSpec(
+                sample_rate=44100.0, symbol_rate=1200.0, lock_rate=0.9,
+                bits_per_symbol=2, state_mask=0xF,
+            ),
+            stream=LFSRStreamSpec(polynomial=0x1, invert=False),
+            codec=IL2PCodecSpec(ident=f"q{i}"),
+        )
+        for i in range(2)
+    ]
+    mesh = make_mesh(2, 4)
+    single = run_banked(chains, audio, block_seconds=2.0, overlap_seconds=1.5)
+    sharded = run_banked_sharded(chains, audio, mesh, block_seconds=2.0,
+                                 overlap_seconds=1.5)
+    total = 0
+    for name in single:
+        a = [(p.streamaddress, list(p.data)) for p in single[name]]
+        b = [(p.streamaddress, list(p.data)) for p in sharded[name]]
+        assert a == b
+        total += len(b)
+    assert total > 0

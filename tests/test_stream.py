@@ -1,0 +1,56 @@
+"""Streaming decoder: chunked feed == one-shot decode, bounded memory."""
+
+import numpy as np
+import pytest
+
+from pymodem_tpu.config import load_plan
+from pymodem_tpu.runtime.bank import run_banked
+from pymodem_tpu.runtime.stream import StreamDecoder
+
+CONFIG = "/root/reference/configs/afsk_300.json"
+
+
+def _pairs(pkts):
+    return [(p.streamaddress, list(p.data)) for p in pkts]
+
+
+@pytest.mark.parametrize("chunk_len", [7_001, 80_000])
+def test_stream_matches_oneshot(fixture_audio, chunk_len):
+    import os
+
+    if not os.path.exists(CONFIG):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    audio = audio[: rate * 80]
+    plan = load_plan(CONFIG, rate)
+    chains = [
+        c for c in plan.chains
+        if c.name in ("AFSK 300 Il2Pc PLL inverted", "AFSK 300 Il2Pc Correlator")
+    ]
+    oneshot = run_banked(chains, audio, block_seconds=4.0, overlap_seconds=6.0)
+
+    dec = StreamDecoder(chains, rate, block_seconds=4.0, overlap_seconds=6.0,
+                        blocks_per_step=4)
+    streamed = []
+    for i in range(0, len(audio), chunk_len):
+        streamed.extend(dec.feed(audio[i : i + chunk_len]))
+    streamed.extend(dec.flush())
+    by_chain = dec.packets()
+
+    # The reference AGC normalizes by the WHOLE recording's max (agc.py:67);
+    # a stream cannot see the future, so coherent chains' loop dynamics (and
+    # hence byte phase) may shift by up to one byte period vs one-shot.
+    # Packet payloads must match exactly; addresses within that quantum.
+    total = 0
+    window = rate / 40 + 9 * (8000 / 300)
+    for chain in chains:
+        a = _pairs(oneshot[chain.name])
+        b = _pairs(by_chain[chain.name])
+        assert [d for _, d in a] == [d for _, d in b], chain.name
+        for (addr_a, _), (addr_b, _) in zip(a, b):
+            assert abs(addr_a - addr_b) < window
+        total += len(b)
+    assert total > 0
+
+    # bounded memory: retained audio never exceeds a few block groups
+    assert len(dec._audio) <= (4 * 4 + 6 + 2) * rate
