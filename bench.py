@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: end-to-end demod-chain throughput on one TPU chip.
 
-Workload: a 16-chain AFSK-300 space-gain sweep bank (the reference's
-sweep-bank pattern, configs/afsk_1200_ax25_super_opt.json) decoding the
-bundled fixture WAV tiled to ~10.5 minutes -- full pipeline: FIR band-pass,
-quadrature tone correlators, FIR low-pass, symbol-timing slicer, LFSR
-descrambler and IL2P syncword scan on device; IL2P RS/CRC framing on host
-from device-computed sync candidates.
+Workload: a 64-chain AFSK-300 space-gain sweep bank (the reference's
+sweep-bank pattern, configs/afsk_1200_ax25_super_opt.json) decoding ONE
+HOUR of audio (the bundled fixture WAV tiled) -- full pipeline: FIR
+band-pass, quadrature tone correlators, FIR low-pass, symbol-timing
+slicer, LFSR descrambler and IL2P syncword scan on device in fixed-shape
+40-block groups (HBM-bounded regardless of recording length); IL2P RS/CRC
+framing on host from device-computed sync candidates.
 
 Metric: aggregate chain-Msamples/s/chip, steady state (the persistent
 compilation cache makes compile a one-time cost; the driver's first run on
@@ -27,9 +28,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 N_CHAINS = 64
-TILES = 4
+HOUR_SECONDS = 3600
 BASELINE_AGG_MSPS = 0.33  # reference aggregate Msamples/s (BASELINE.md)
-EXPECTED_PACKETS = 188  # space-gain sweep: only near-unity-gain chains decode the noisy fixture
+EXPECTED_PACKETS = 1080  # sweep over 1h: only near-unity-gain chains decode the noisy fixture
 
 
 def main() -> int:
@@ -56,16 +57,17 @@ def main() -> int:
         )
         for i in range(N_CHAINS)
     ]
-    tiled = np.tile(audio, TILES)
+    reps = -(-HOUR_SECONDS * rate // len(audio))
+    tiled = np.tile(audio, reps)[: HOUR_SECONDS * rate]
 
     # Warmup: compile (or load from the persistent cache).
-    packets = run_banked(chains, tiled, codec="host")
+    packets = run_banked(chains, tiled, codec="host", max_blocks_per_step=40)
     n_packets = sum(len(v) for v in packets.values())
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
-        run_banked(chains, tiled, codec="host")
+        run_banked(chains, tiled, codec="host", max_blocks_per_step=40)
         best = min(best, time.time() - t0)
 
     chain_samples = N_CHAINS * len(tiled)

@@ -541,7 +541,8 @@ def default_block_plan(n_audio: int, trim: int, sample_rate: float,
 def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                block_seconds: float = 16.0, overlap_seconds: float = 6.0,
                method: str = "auto", unroll: int = 8, codec: str = "host",
-               max_packets_per_block: int = 8):
+               max_packets_per_block: int = 8,
+               max_blocks_per_step: int | None = None):
     """Run a full chain list via banked block-parallel device programs.
 
     Returns {chain_name: list[Packet]} with per-block keep-region filtering
@@ -552,6 +553,10 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     (codecs/il2p_device.py, codecs/ax25_device.py) when every chain in a
     bank shares codec options, leaving the host only packet-object
     conversion and reporting.
+
+    max_blocks_per_step: cap on blocks per device dispatch.  Long
+    recordings run as a sequence of fixed-shape block groups (one compiled
+    program total), bounding HBM by group size instead of recording length.
     """
     from ..codecs.host import (
         ax25_decode_host,
@@ -579,13 +584,42 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
             ),
             default=0,
         )
-        data, addr, count, sync = bank_device_step(
-            bank.kind, bank.slicer_kind, bank.params,
-            jnp.asarray(audio, dtype), plan, cap,
-            bank.stream_poly, bank.stream_invert,
-            st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
-            st["compact_window"],
-        )
+        if max_blocks_per_step is None or plan.n_blocks <= max_blocks_per_step:
+            data, addr, count, sync = bank_device_step(
+                bank.kind, bank.slicer_kind, bank.params,
+                jnp.asarray(audio, dtype), plan, cap,
+                bank.stream_poly, bank.stream_invert,
+                st["state_mask"], st["bits_per_symbol"], sync_tol, method,
+                unroll, st["compact_window"],
+            )
+        else:
+            # fixed-shape block groups: one compiled program regardless of
+            # recording length, HBM bounded by the group size
+            g = max_blocks_per_step
+            lin = plan.block_input_len
+            padded = np.zeros(plan.n_blocks * plan.block_len + plan.overlap
+                              + plan.trim, dtype=np.asarray(audio).dtype)
+            padded[plan.overlap : plan.overlap + len(audio)] = audio
+            parts = []
+            for b0 in range(0, plan.n_blocks, g):
+                frames = np.zeros((g, lin), dtype=padded.dtype)
+                for i in range(min(g, plan.n_blocks - b0)):
+                    s = (b0 + i) * plan.block_len
+                    frames[i] = padded[s : s + lin]
+                parts.append(
+                    bank_device_step_frames(
+                        bank.kind, bank.slicer_kind, bank.params,
+                        jnp.asarray(frames, dtype), cap,
+                        bank.stream_poly, bank.stream_invert,
+                        st["state_mask"], st["bits_per_symbol"], sync_tol,
+                        method, unroll, st["compact_window"],
+                    )
+                )
+            data, addr, count, sync = (
+                np.concatenate([np.asarray(p[k])[:, : min(plan.n_blocks - i * g, g)]
+                                for i, p in enumerate(parts)], axis=1)
+                for k in range(4)
+            )
         codec_key = _bank_uniform_codec(bank) if codec == "device" else None
         if codec_key is not None:
             from ..packets import Packet
