@@ -59,12 +59,28 @@ def main(argv=None) -> int:
         print(f"Unable to open config json file. ({exc})")
         return 3
 
+    profile = os.environ.get("PYMODEM_TPU_PROFILE", "")
+    if profile:
+        from . import profiling
+
+        profiling.enable()
+
     print(f"Built {len(plan.chains)} demod chains")
     start = time.time()
-    result = run_plan(plan, audio, sample_rate, verbose=True)
+    if profile and profile not in ("1", "true", "yes"):
+        from . import profiling
+
+        with profiling.trace(profile):
+            result = run_plan(plan, audio, sample_rate, verbose=True)
+    else:
+        result = run_plan(plan, audio, sample_rate, verbose=True)
     for report_spec, text in zip(plan.reports, result.reports):
         print(f"Generating {report_spec.name}")
         print(text)
+    if profile:
+        from . import profiling
+
+        print(profiling.report())
     print(f"Elapsed time: {round(time.time() - start, 2)} seconds.")
     return 0
 

@@ -51,7 +51,10 @@ def compact_bytes(out: SlicerOut, capacity: int, window: int = 1):
             valid = jnp.pad(valid, (0, pad))
             byte = jnp.pad(byte, (0, pad))
         v = valid.reshape(-1, window)
-        byte = jnp.sum(jnp.where(v, byte.reshape(-1, window), 0), axis=1)
+        # explicit dtype: integer jnp.sum otherwise promotes to int64 under
+        # x64, tripping the int32 scatter below
+        byte = jnp.sum(jnp.where(v, byte.reshape(-1, window), 0), axis=1,
+                       dtype=jnp.int32)
         base = jnp.arange(v.shape[0], dtype=jnp.int32) * window
         address = base + jnp.argmax(v, axis=1).astype(jnp.int32) + 1
         valid = jnp.any(v, axis=1)

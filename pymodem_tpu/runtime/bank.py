@@ -538,6 +538,51 @@ def default_block_plan(n_audio: int, trim: int, sample_rate: float,
     return BlockPlan(n_audio, trim, block_len, overlap)
 
 
+
+
+def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
+                        method, unroll, max_blocks_per_step):
+    """Run the bank device program, grouped into fixed-shape block
+    chunks when the recording exceeds max_blocks_per_step."""
+    if max_blocks_per_step is None or plan.n_blocks <= max_blocks_per_step:
+        data, addr, count, sync = bank_device_step(
+            bank.kind, bank.slicer_kind, bank.params,
+            jnp.asarray(audio, dtype), plan, cap,
+            bank.stream_poly, bank.stream_invert,
+            st["state_mask"], st["bits_per_symbol"], sync_tol, method,
+            unroll, st["compact_window"],
+        )
+    else:
+        # fixed-shape block groups: one compiled program regardless of
+        # recording length, HBM bounded by the group size
+        g = max_blocks_per_step
+        lin = plan.block_input_len
+        padded = np.zeros(plan.n_blocks * plan.block_len + plan.overlap
+                          + plan.trim, dtype=np.asarray(audio).dtype)
+        padded[plan.overlap : plan.overlap + len(audio)] = audio
+        parts = []
+        for b0 in range(0, plan.n_blocks, g):
+            frames = np.zeros((g, lin), dtype=padded.dtype)
+            for i in range(min(g, plan.n_blocks - b0)):
+                s = (b0 + i) * plan.block_len
+                frames[i] = padded[s : s + lin]
+            parts.append(
+                bank_device_step_frames(
+                    bank.kind, bank.slicer_kind, bank.params,
+                    jnp.asarray(frames, dtype), cap,
+                    bank.stream_poly, bank.stream_invert,
+                    st["state_mask"], st["bits_per_symbol"], sync_tol,
+                    method, unroll, st["compact_window"],
+                )
+            )
+        data, addr, count, sync = (
+            np.concatenate([np.asarray(p[k])[:, : min(plan.n_blocks - i * g, g)]
+                            for i, p in enumerate(parts)], axis=1)
+            for k in range(4)
+        )
+    return data, addr, count, sync
+
+
 def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                block_seconds: float = 16.0, overlap_seconds: float = 6.0,
                method: str = "auto", unroll: int = 8, codec: str = "host",
@@ -565,11 +610,15 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     )
     from ..config import AX25CodecSpec, IL2PCodecSpec
 
+    from .. import profiling
+
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     audio = np.asarray(audio)
     results: dict[str, list] = {}
-    for bank in group_chains(chains, dtype):
+    with profiling.timed("group_chains"):
+        banks = group_chains(chains, dtype)
+    for bank in banks:
         sample_rate = bank.specs[0].modem.sample_rate
         plan = default_block_plan(
             len(audio), bank.trim, sample_rate, block_seconds, overlap_seconds
@@ -584,41 +633,10 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
             ),
             default=0,
         )
-        if max_blocks_per_step is None or plan.n_blocks <= max_blocks_per_step:
-            data, addr, count, sync = bank_device_step(
-                bank.kind, bank.slicer_kind, bank.params,
-                jnp.asarray(audio, dtype), plan, cap,
-                bank.stream_poly, bank.stream_invert,
-                st["state_mask"], st["bits_per_symbol"], sync_tol, method,
-                unroll, st["compact_window"],
-            )
-        else:
-            # fixed-shape block groups: one compiled program regardless of
-            # recording length, HBM bounded by the group size
-            g = max_blocks_per_step
-            lin = plan.block_input_len
-            padded = np.zeros(plan.n_blocks * plan.block_len + plan.overlap
-                              + plan.trim, dtype=np.asarray(audio).dtype)
-            padded[plan.overlap : plan.overlap + len(audio)] = audio
-            parts = []
-            for b0 in range(0, plan.n_blocks, g):
-                frames = np.zeros((g, lin), dtype=padded.dtype)
-                for i in range(min(g, plan.n_blocks - b0)):
-                    s = (b0 + i) * plan.block_len
-                    frames[i] = padded[s : s + lin]
-                parts.append(
-                    bank_device_step_frames(
-                        bank.kind, bank.slicer_kind, bank.params,
-                        jnp.asarray(frames, dtype), cap,
-                        bank.stream_poly, bank.stream_invert,
-                        st["state_mask"], st["bits_per_symbol"], sync_tol,
-                        method, unroll, st["compact_window"],
-                    )
-                )
-            data, addr, count, sync = (
-                np.concatenate([np.asarray(p[k])[:, : min(plan.n_blocks - i * g, g)]
-                                for i, p in enumerate(parts)], axis=1)
-                for k in range(4)
+        with profiling.timed("device_step"):
+            data, addr, count, sync = _dispatch_bank_step(
+                bank, plan, st, cap, sync_tol, audio, dtype, method,
+                unroll, max_blocks_per_step,
             )
         codec_key = _bank_uniform_codec(bank) if codec == "device" else None
         if codec_key is not None:
@@ -664,10 +682,11 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                         )
                 results[chain.name] = _dedup_block_boundary(packets, chain)
             continue
-        data = np.asarray(data)
-        addr = np.asarray(addr)
-        count = np.asarray(count)
-        sync = np.asarray(sync)  # packed bitmap (C, B, cap) uint8
+        with profiling.timed("transfer"):
+            data = np.asarray(data)
+            addr = np.asarray(addr)
+            count = np.asarray(count)
+            sync = np.asarray(sync)  # packed bitmap (C, B, cap) uint8
         for ci, chain in enumerate(bank.specs):
             packets = []
             for b in range(plan.n_blocks):
@@ -679,9 +698,10 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                 # which starts at absolute index b*block_len - overlap.
                 offset = b * plan.block_len - plan.overlap
                 block_addr = addr[ci, b, :n].astype(np.int64) + offset
-                pkts = host_decode_block(
-                    chain, block_bytes, block_addr, sync[ci, b]
-                )
+                with profiling.timed("host_codec"):
+                    pkts = host_decode_block(
+                        chain, block_bytes, block_addr, sync[ci, b]
+                    )
                 lo, hi = plan.keep_range(b)
                 packets.extend(
                     p for p in pkts if lo < p.streamaddress <= hi
