@@ -129,11 +129,12 @@ def _pack_bytes_at(bits_padded, bit_pos, count):
 
 
 @partial(jax.jit, static_argnames=("max_packets", "collect_crc", "disable_rs",
-                                   "min_distance"))
+                                   "min_distance", "total_candidates"))
 def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
                        counts: jax.Array, addresses: jax.Array,
                        max_packets: int = 8, collect_crc: bool = True,
-                       disable_rs: bool = False, min_distance: int = 0):
+                       disable_rs: bool = False, min_distance: int = 0,
+                       total_candidates: int | None = None):
     """Decode IL2P packets from byte-stream blocks, fully on device.
 
     data: (..., K) uint8 descrambled stream bytes; sync_packed: (..., K)
@@ -143,180 +144,206 @@ def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
     Returns dict of (..., max_packets, ...) arrays: ``packet`` bytes,
     ``length``, ``address``, ``ok`` (structurally complete), ``crc_ok``,
     ``corrected``.
+
+    ``total_candidates``: global candidate-slot capacity across the whole
+    batch (default blocks * max_packets).  Decode work scales with this,
+    not with the block count -- tune it to ~2-4x expected traffic.
     """
     batch_shape = data.shape[:-1]
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch_shape):])
     out = _il2p_decode_flat(
         flat(data), flat(sync_packed), counts.reshape(-1), flat(addresses),
-        max_packets, collect_crc, disable_rs, min_distance,
+        max_packets, collect_crc, disable_rs, min_distance, total_candidates,
     )
     return {k: v.reshape(batch_shape + v.shape[1:]) for k, v in out.items()}
 
 
 def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
-                      collect_crc, disable_rs, min_distance):
-    K = data.shape[-1]
+                      collect_crc, disable_rs, min_distance,
+                      total_candidates=None):
+    """Globally candidate-compacted decode.
+
+    Candidates are compacted ACROSS the whole (flattened) block batch before
+    any decode work: with T total candidate slots (~2 per block on average)
+    the expensive batched RS decodes scale with actual traffic instead of
+    blocks x max_packets.  Candidate order (block, pos) is preserved by the
+    compaction, so one scan with per-block resets enforces the FSM's span-
+    consumption rule; results scatter back to (N, max_packets) slots.
+    """
+    N, K = data.shape
     n_bits_total = K * 8
+    # global candidate capacity: defaults to the per-block guarantee; cap it
+    # (e.g. ~2-4x the expected packet count) on sparse workloads so RS work
+    # scales with traffic instead of blocks x max_packets
+    T = total_candidates if total_candidates else N * max_packets
+    T = max(T, 8)
 
-    def one_block(block_bytes, block_sync, n_bytes, block_addr):
-        bits = bytes_to_bits_msb(block_bytes).astype(jnp.int32)
-        n_bits = n_bytes * 8
-        bit_idx = jnp.arange(n_bits_total)
-        cand_map = bytes_to_bits_msb(block_sync).astype(jnp.bool_)
-        cand_map = cand_map & (bit_idx < n_bits)
-        # first max_packets candidate positions, padded with n_bits_total
-        cand_pos = jnp.sort(
-            jnp.where(cand_map, bit_idx, n_bits_total)
-        )[:max_packets]
+    bits_all = bytes_to_bits_msb(data).astype(jnp.int32)  # (N, K8)
+    bit_idx = jnp.arange(n_bits_total)
+    cand = bytes_to_bits_msb(sync_packed).astype(jnp.bool_)
+    cand = cand & (bit_idx[None, :] < (counts * 8)[:, None])
 
-        # ---- per-candidate fixed-shape decode (vmapped) ----
-        def candidate(pos):
-            start = pos + 1
-            hdr_raw = _pack_bytes_at(bits, start, 15)
-            return hdr_raw
+    # ---- global compaction: flat index = block * K8 + pos (sorted) ----
+    flat = cand.reshape(-1)
+    csum = jnp.cumsum(flat.astype(jnp.int32))
+    total = csum[-1]
+    slots = jnp.arange(1, T + 1)
+    src = jnp.clip(jnp.searchsorted(csum, slots), 0, N * n_bits_total - 1)
+    cand_valid = slots <= total
+    blk = (src // n_bits_total).astype(jnp.int32)
+    pos = (src % n_bits_total).astype(jnp.int32)
+    n_bits_of = counts[blk] * 8  # (T,)
 
-        hdr_raw = jax.vmap(candidate)(cand_pos)  # (P, 15)
-        if disable_rs:
-            hdr_corr, hdr_res = hdr_raw, jnp.zeros((max_packets,), jnp.int32)
-        else:
-            hdr_corr, hdr_res = rs_ops.rs_decode_jax(
-                hdr_raw, jnp.full((max_packets,), 15, jnp.int32),
-                num_roots=2, min_distance=min_distance,
-            )
-        hdr = jax.vmap(lambda h: _descramble_fixed(h[:13], 13))(hdr_corr)
+    rows = jnp.take(bits_all, blk, axis=0)  # (T, K8)
 
-        parsed = jax.vmap(_parse_header)(hdr)
-        count = jnp.clip(parsed[0], 0, MAX_PAYLOAD)
-        ax25, ax25_len = jax.vmap(_ax25_header)(*parsed)
-
-        # block layout (il2p.py:346-358)
-        block_count = -(-count // 239)
-        block_count = jnp.maximum(block_count, 0)
-        base_size = jnp.where(block_count > 0, count // jnp.maximum(block_count, 1), 0)
-        big_blocks = count - block_count * base_size
-        k_idx = jnp.arange(MAX_BLOCKS)[None, :]  # (1, MB)
-        sizes = jnp.where(
-            k_idx < big_blocks[:, None], base_size[:, None] + 1,
-            jnp.where(k_idx < block_count[:, None], base_size[:, None], 0),
-        )  # (P, MB)
-        coded_sizes = jnp.where(sizes > 0, sizes + 16, 0)
-        block_bit_off = 120 + 8 * (
-            jnp.cumsum(coded_sizes, axis=1) - coded_sizes
-        )  # (P, MB) offsets after sync
-
-        def get_block(pos, off):
-            return _pack_bytes_at(bits, pos + 1 + off, 255)
-
-        blocks_raw = jax.vmap(
-            lambda pos, offs: jax.vmap(lambda o: get_block(pos, o))(offs)
-        )(cand_pos, block_bit_off)  # (P, MB, 255)
-
-        if disable_rs:
-            blocks_corr = blocks_raw
-            blk_res = jnp.zeros((max_packets, MAX_BLOCKS), jnp.int32)
-        else:
-            bc, br = rs_ops.rs_decode_jax(
-                blocks_raw.reshape(-1, 255),
-                jnp.maximum(coded_sizes.reshape(-1), 1),
-                num_roots=16, min_distance=min_distance,
-            )
-            blocks_corr = bc.reshape(max_packets, MAX_BLOCKS, 255)
-            blk_res = br.reshape(max_packets, MAX_BLOCKS)
-
-        blocks_plain = jax.vmap(
-            jax.vmap(_descramble_fixed, in_axes=(0, 0)), in_axes=(0, 0)
-        )(blocks_corr, sizes)
-
-        # gather payload bytes: payload[i] lives in block k(i) at i - start_k
-        pay_idx = jnp.arange(MAX_PAYLOAD)[None, :]  # (1, MP)
-        starts = jnp.cumsum(sizes, axis=1) - sizes  # (P, MB)
-        k_of = jnp.sum(
-            (pay_idx[:, :, None] >= starts[:, None, :])
-            & (sizes[:, None, :] > 0), axis=2,
-        ) - 1  # (P, MP)
-        k_of = jnp.clip(k_of, 0, MAX_BLOCKS - 1)
-        within = pay_idx - jnp.take_along_axis(starts, k_of, axis=1)
-        payload = jnp.take_along_axis(
-            blocks_plain.reshape(max_packets, -1),
-            k_of * 255 + jnp.clip(within, 0, 254), axis=1,
-        )  # (P, MP)
-
-        # trailing CRC (il2p.py:503-518)
-        crc_off = 120 + 8 * jnp.sum(coded_sizes, axis=1)
-        crc_raw = jax.vmap(lambda pos, off: _pack_bytes_at(bits, pos + 1 + off, 4))(
-            cand_pos, crc_off
-        )  # (P, 4)
-        nib = jnp.asarray(_HAMMING)[crc_raw & 0x7F]  # (P, 4)
-        sh = jnp.asarray([12, 8, 4, 0])
-        carried_crc = jnp.sum(nib << sh[None, :], axis=1)
-
-        # assemble packet = ax25 header + payload (+2 CRC bytes)
-        pkt = jnp.zeros((max_packets, MAX_PACKET_LEN), jnp.int32)
-        slot = jnp.arange(MAX_PACKET_LEN)[None, :]
-        hdr_sel = jnp.take_along_axis(
-            ax25, jnp.clip(slot, 0, MAX_AX25_HEADER - 1), axis=1
+    # ---- per-candidate fixed-shape decode (vmapped over T) ----
+    hdr_raw = jax.vmap(lambda row, p: _pack_bytes_at(row, p + 1, 15))(rows, pos)
+    if disable_rs:
+        hdr_corr, hdr_res = hdr_raw, jnp.zeros((T,), jnp.int32)
+    else:
+        hdr_corr, hdr_res = rs_ops.rs_decode_jax(
+            hdr_raw, jnp.full((T,), 15, jnp.int32),
+            num_roots=2, min_distance=min_distance,
         )
-        pay_pos = slot - ax25_len[:, None]
-        pay_sel = jnp.take_along_axis(
-            payload, jnp.clip(pay_pos, 0, MAX_PAYLOAD - 1), axis=1
-        )
-        pkt = jnp.where(slot < ax25_len[:, None], hdr_sel,
-                        jnp.where(pay_pos < count[:, None], pay_sel, 0))
-        data_len = ax25_len + count
-        total_len = data_len + 2
-        # CRC bytes: little-endian carried (collect_crc) or calculated
-        calc_crc = crc16_masked(pkt.astype(jnp.uint8), data_len).astype(jnp.int32)
-        trail = carried_crc if collect_crc else calc_crc
-        pkt = jnp.where(slot == data_len[:, None], trail[:, None] & 0xFF, pkt)
-        pkt = jnp.where(slot == (data_len + 1)[:, None], trail[:, None] >> 8, pkt)
+    hdr = jax.vmap(lambda h: _descramble_fixed(h[:13], 13))(hdr_corr)
 
-        # span consumed (bits): sync bit + header + blocks (+ crc)
-        span_ok = 1 + 120 + 8 * jnp.sum(coded_sizes, axis=1) + (32 if collect_crc else 0)
-        hdr_fail = hdr_res < 0
-        blk_fail_any = jnp.any((blk_res < 0) & (coded_sizes > 0), axis=1)
-        first_bad = jnp.argmax((blk_res < 0) & (coded_sizes > 0), axis=1)
-        span_hdr_fail = 1 + 120
-        span_blk_fail = 1 + 120 + 8 * (
-            jnp.take_along_axis(
-                jnp.cumsum(coded_sizes, axis=1), first_bad[:, None], axis=1
-            )[:, 0]
-        )
-        span = jnp.where(
-            hdr_fail, span_hdr_fail,
-            jnp.where(blk_fail_any, span_blk_fail, span_ok),
-        )
-        structural_ok = (
-            (~hdr_fail) & (~blk_fail_any)
-            & (cand_pos + span <= n_bits)
-            & (cand_pos < n_bits)
-        )
-        corrected = jnp.maximum(hdr_res, 0) + jnp.sum(
-            jnp.where(coded_sizes > 0, jnp.maximum(blk_res, 0), 0), axis=1
-        )
+    parsed = jax.vmap(_parse_header)(hdr)
+    count = jnp.clip(parsed[0], 0, MAX_PAYLOAD)
+    ax25, ax25_len = jax.vmap(_ax25_header)(*parsed)
 
-        # ---- sequential acceptance over candidates (FSM consumption) ----
-        def accept_step(resume, xs):
-            pos, sp, ok = xs
-            take = (pos >= resume) & (pos < n_bits)
-            new_resume = jnp.where(take, pos + sp, resume)
-            return new_resume, take
+    # block layout (il2p.py:346-358)
+    block_count = jnp.maximum(-(-count // 239), 0)
+    base_size = jnp.where(block_count > 0, count // jnp.maximum(block_count, 1), 0)
+    big_blocks = count - block_count * base_size
+    k_idx = jnp.arange(MAX_BLOCKS)[None, :]
+    sizes = jnp.where(
+        k_idx < big_blocks[:, None], base_size[:, None] + 1,
+        jnp.where(k_idx < block_count[:, None], base_size[:, None], 0),
+    )  # (T, MB)
+    coded_sizes = jnp.where(sizes > 0, sizes + 16, 0)
+    block_bit_off = 120 + 8 * (jnp.cumsum(coded_sizes, axis=1) - coded_sizes)
 
-        _, accepted = jax.lax.scan(
-            accept_step, jnp.zeros((), jnp.int32),
-            (cand_pos.astype(jnp.int32), span.astype(jnp.int32), structural_ok),
+    blocks_raw = jax.vmap(
+        lambda row, p, offs: jax.vmap(
+            lambda o: _pack_bytes_at(row, p + 1 + o, 255)
+        )(offs)
+    )(rows, pos, block_bit_off)  # (T, MB, 255)
+
+    if disable_rs:
+        blocks_corr = blocks_raw
+        blk_res = jnp.zeros((T, MAX_BLOCKS), jnp.int32)
+    else:
+        bc, br = rs_ops.rs_decode_jax(
+            blocks_raw.reshape(-1, 255),
+            jnp.maximum(coded_sizes.reshape(-1), 1),
+            num_roots=16, min_distance=min_distance,
         )
-        emit = accepted & structural_ok
+        blocks_corr = bc.reshape(T, MAX_BLOCKS, 255)
+        blk_res = br.reshape(T, MAX_BLOCKS)
 
-        last_bit = jnp.clip(cand_pos + span - 1, 0, n_bits_total - 1)
-        address = jnp.take(block_addr, last_bit // 8, mode="clip").astype(jnp.int32)
-        crc_ok = (calc_crc == carried_crc) if collect_crc else jnp.ones_like(emit)
-        return {
-            "packet": pkt,
-            "length": jnp.where(emit, total_len, 0),
-            "address": jnp.where(emit, address, 0),
-            "ok": emit,
-            "crc_ok": emit & crc_ok,
-            "corrected": jnp.where(emit, corrected, 0),
-        }
+    blocks_plain = jax.vmap(
+        jax.vmap(_descramble_fixed, in_axes=(0, 0)), in_axes=(0, 0)
+    )(blocks_corr, sizes)
 
-    return jax.vmap(one_block)(data, sync_packed, counts, addresses)
+    # gather payload bytes: payload[i] lives in block k(i) at i - start_k
+    pay_idx = jnp.arange(MAX_PAYLOAD)[None, :]
+    starts = jnp.cumsum(sizes, axis=1) - sizes
+    k_of = jnp.sum(
+        (pay_idx[:, :, None] >= starts[:, None, :]) & (sizes[:, None, :] > 0),
+        axis=2,
+    ) - 1
+    k_of = jnp.clip(k_of, 0, MAX_BLOCKS - 1)
+    within = pay_idx - jnp.take_along_axis(starts, k_of, axis=1)
+    payload = jnp.take_along_axis(
+        blocks_plain.reshape(T, -1), k_of * 255 + jnp.clip(within, 0, 254),
+        axis=1,
+    )  # (T, MP)
+
+    # trailing CRC (il2p.py:503-518)
+    crc_off = 120 + 8 * jnp.sum(coded_sizes, axis=1)
+    crc_raw = jax.vmap(lambda row, p, off: _pack_bytes_at(row, p + 1 + off, 4))(
+        rows, pos, crc_off
+    )
+    nib = jnp.asarray(_HAMMING)[crc_raw & 0x7F]
+    sh = jnp.asarray([12, 8, 4, 0])
+    carried_crc = jnp.sum(nib << sh[None, :], axis=1)
+
+    # assemble packet = ax25 header + payload (+2 CRC bytes)
+    slot = jnp.arange(MAX_PACKET_LEN)[None, :]
+    hdr_sel = jnp.take_along_axis(
+        ax25, jnp.clip(slot, 0, MAX_AX25_HEADER - 1), axis=1
+    )
+    pay_pos = slot - ax25_len[:, None]
+    pay_sel = jnp.take_along_axis(
+        payload, jnp.clip(pay_pos, 0, MAX_PAYLOAD - 1), axis=1
+    )
+    pkt = jnp.where(slot < ax25_len[:, None], hdr_sel,
+                    jnp.where(pay_pos < count[:, None], pay_sel, 0))
+    data_len = ax25_len + count
+    total_len = data_len + 2
+    calc_crc = crc16_masked(pkt.astype(jnp.uint8), data_len).astype(jnp.int32)
+    trail = carried_crc if collect_crc else calc_crc
+    pkt = jnp.where(slot == data_len[:, None], trail[:, None] & 0xFF, pkt)
+    pkt = jnp.where(slot == (data_len + 1)[:, None], trail[:, None] >> 8, pkt)
+
+    # span consumed (bits): sync bit + header + blocks (+ crc)
+    span_ok = 1 + 120 + 8 * jnp.sum(coded_sizes, axis=1) + (32 if collect_crc else 0)
+    hdr_fail = hdr_res < 0
+    blk_fail_any = jnp.any((blk_res < 0) & (coded_sizes > 0), axis=1)
+    first_bad = jnp.argmax((blk_res < 0) & (coded_sizes > 0), axis=1)
+    span_blk_fail = 1 + 120 + 8 * (
+        jnp.take_along_axis(
+            jnp.cumsum(coded_sizes, axis=1), first_bad[:, None], axis=1
+        )[:, 0]
+    )
+    span = jnp.where(hdr_fail, 1 + 120,
+                     jnp.where(blk_fail_any, span_blk_fail, span_ok))
+    structural_ok = (
+        cand_valid & (~hdr_fail) & (~blk_fail_any)
+        & (pos + span <= n_bits_of) & (pos < n_bits_of)
+    )
+    corrected = jnp.maximum(hdr_res, 0) + jnp.sum(
+        jnp.where(coded_sizes > 0, jnp.maximum(blk_res, 0), 0), axis=1
+    )
+
+    # ---- acceptance scan (candidates are (block, pos)-ordered) ----
+    def accept_step(carry, xs):
+        cur_blk, resume, rank = carry
+        b, p, sp, v, nb = xs
+        new_block = b != cur_blk
+        resume = jnp.where(new_block, 0, resume)
+        rank = jnp.where(new_block, 0, rank)
+        take = v & (p >= resume)
+        resume = jnp.where(take & (p < nb), p + sp, resume)
+        out_rank = rank
+        rank = jnp.where(take, rank + 1, rank)
+        return (b, resume, rank), (take, out_rank)
+
+    z = jnp.zeros((), jnp.int32)
+    _, (accepted, rank) = jax.lax.scan(
+        accept_step, (jnp.full((), -1, jnp.int32), z, z),
+        (blk, pos, span.astype(jnp.int32), cand_valid, n_bits_of),
+    )
+    emit = accepted & structural_ok
+
+    last_bit = jnp.clip(pos + span - 1, 0, n_bits_total - 1)
+    address = addresses[blk, jnp.clip(last_bit // 8, 0, K - 1)].astype(jnp.int32)
+    crc_ok = (calc_crc == carried_crc) if collect_crc else jnp.ones_like(emit)
+
+    # ---- scatter back to (N, max_packets) slots ----
+    out_blk = jnp.where(emit & (rank < max_packets), blk, N)
+    out_rank = jnp.clip(rank, 0, max_packets - 1)
+
+    def scatter(values, fill=0):
+        buf = jnp.full((N + 1, max_packets) + values.shape[1:], fill,
+                       dtype=values.dtype)
+        return buf.at[out_blk, out_rank].set(values)[:N]
+
+    return {
+        "packet": scatter(pkt),
+        "length": scatter(jnp.where(emit, total_len, 0)),
+        "address": scatter(jnp.where(emit, address, 0)),
+        "ok": scatter(emit),
+        "crc_ok": scatter(emit & crc_ok),
+        "corrected": scatter(jnp.where(emit, corrected, 0)),
+    }

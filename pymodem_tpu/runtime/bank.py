@@ -461,11 +461,13 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
 
 @partial(jax.jit, static_argnames=("codec_kind", "plan", "max_packets",
                                    "collect_crc", "disable_rs", "min_distance",
-                                   "min_packet_length", "max_packet_length"))
+                                   "min_packet_length", "max_packet_length",
+                                   "total_candidates"))
 def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
                     max_packets: int = 8, collect_crc: bool = True,
                     disable_rs: bool = False, min_distance: int = 0,
-                    min_packet_length: int = 18, max_packet_length: int = 1023):
+                    min_packet_length: int = 18, max_packet_length: int = 1023,
+                    total_candidates: int | None = None):
     """On-device codec stage over bank_device_step outputs: (C, B, cap) byte
     streams -> fixed-capacity packet buffers (C, B, max_packets, ...).
 
@@ -484,6 +486,7 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
             data.astype(jnp.uint8), sync, count, addr_abs,
             max_packets=max_packets, collect_crc=collect_crc,
             disable_rs=disable_rs, min_distance=min_distance,
+            total_candidates=total_candidates,
         )
     elif codec_kind == "ax25":
         out = ax25_decode_blocks(
@@ -587,7 +590,8 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                block_seconds: float = 16.0, overlap_seconds: float = 6.0,
                method: str = "auto", unroll: int = 8, codec: str = "host",
                max_packets_per_block: int = 8,
-               max_blocks_per_step: int | None = None):
+               max_blocks_per_step: int | None = None,
+               total_candidates: int | None = None):
     """Run a full chain list via banked block-parallel device programs.
 
     Returns {chain_name: list[Packet]} with per-block keep-region filtering
@@ -648,6 +652,7 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                     max_packets=max_packets_per_block,
                     collect_crc=codec_key[1], disable_rs=codec_key[2],
                     min_distance=codec_key[3],
+                    total_candidates=total_candidates,
                 )
             else:
                 out = bank_codec_step(
