@@ -61,3 +61,21 @@ def test_fixture_decode_parity(fixture_audio, config, golden, golden_bad):
     for (addr, _), (gold_addr, _) in zip(ours, golden):
         assert abs(addr - gold_addr) < window
     assert agg.count_bad() == golden_bad
+
+
+def test_report_text_matches_reference(fixture_audio):
+    """The rendered decoded_headers report is byte-identical to the
+    reference's own output on the PLL fixture (captured 2026-08-16,
+    tests/golden_pll_report.txt, progress lines stripped)."""
+    path = os.path.join(CONFIG_DIR, "afsk_300_pll.json")
+    golden_path = os.path.join(os.path.dirname(__file__), "golden_pll_report.txt")
+    if not (os.path.exists(path) and os.path.exists(golden_path)):
+        pytest.skip("reference artifacts not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    result = run_plan(plan, audio, rate)
+    ours = [ln for ln in result.reports[0].splitlines() if ln.strip()]
+    golden = [
+        ln.rstrip("\n") for ln in open(golden_path) if ln.strip()
+    ]
+    assert ours == golden
