@@ -184,16 +184,94 @@ def _jmul(antilog, log, a, b):
     return jnp.where((a == 0) | (b == 0), 0, prod)
 
 
-@partial(jax.jit, static_argnames=("num_roots", "first_root", "min_distance"))
+@partial(jax.jit, static_argnames=("num_roots", "first_root", "min_distance",
+                                   "chunk_size"))
 def rs_decode_jax(data: jax.Array, block_size: jax.Array, num_roots: int,
                   first_root: int = 0, min_distance: int = 0,
-                  gf: GFTables = GF256):
+                  gf: GFTables = GF256, chunk_size: int = 2048):
     """Batched RS decode.
 
     data: (B, L) int32 with L >= max block size (255); block_size: (B,) int32.
     Returns (corrected_data (B, L), result (B,) int32) where result is the
     corrected-error count or -1 on failure, matching rs_decode_np per block.
+
+    Batches larger than ``chunk_size`` stream through lax.map so the
+    (chunk, L, R) syndrome term tensors stay bounded (a 100k-block batch
+    would otherwise materialize multi-GB temporaries).
     """
+    B = data.shape[0]
+    if B > chunk_size:
+        pad = -B % chunk_size
+        data_p = jnp.pad(data, ((0, pad), (0, 0)))
+        bs_p = jnp.pad(block_size, (0, pad), constant_values=1)
+        n_chunks = (B + pad) // chunk_size
+        corr, res = jax.lax.map(
+            lambda args: _rs_decode_batch(
+                args[0], args[1], num_roots, first_root, min_distance, gf
+            ),
+            (
+                data_p.reshape(n_chunks, chunk_size, -1),
+                bs_p.reshape(n_chunks, chunk_size),
+            ),
+        )
+        return corr.reshape(-1, data.shape[1])[:B], res.reshape(-1)[:B]
+    return _rs_decode_batch(data, block_size, num_roots, first_root,
+                            min_distance, gf)
+
+
+_BITMAT_CACHE: dict = {}
+
+
+def _bitlinear_mats(num_roots: int, first_root: int, gf: GFTables):
+    """GF(2)-linear operator matrices for syndrome and Chien evaluation.
+
+    GF(2^8) multiplication by a constant is linear over GF(2), so with
+    blocks right-aligned into a 255-byte frame both evaluations become
+    binary matrix products -- MXU matmuls followed by mod 2 -- instead of
+    per-element log/antilog gathers.
+
+    M_synd[(j', a), (i, b)] = bit b of (2^a) * alpha^((254-j')*(fr+i))
+    M_chien[(i-1)*8+b, (j', c)] = bit c of (2^b) * alpha^((j'+1)*i)
+    (the reference's Chien exponent is (j + 256 - bs)*i, rs_functions.py:87).
+    """
+    key = (num_roots, first_root, gf.order)
+    if key in _BITMAT_CACHE:
+        return _BITMAT_CACHE[key]
+    lm = gf.order - 1  # 255
+    t2 = num_roots // 2
+    jp = np.arange(lm)
+    a = np.arange(8)
+    # syndromes
+    i_r = np.arange(num_roots)
+    exp_s = ((lm - 1 - jp)[:, None] * (first_root + i_r)[None, :]) % lm
+    const_s = gf.antilog[exp_s]  # (lm, R)
+    prod_s = np_gf_mul(gf, (1 << a)[None, :, None], const_s[:, None, :])  # (lm, 8, R)
+    bits_s = (prod_s[..., None] >> a[None, None, None, :]) & 1  # (lm, 8, R, 8)
+    m_synd = bits_s.reshape(lm * 8, num_roots * 8).astype(np.float32)
+    # chien
+    i_c = np.arange(1, t2 + 1)
+    exp_c = (((jp + 1)[None, :]) * i_c[:, None]) % lm  # (t2, lm)
+    const_c = gf.antilog[exp_c]
+    prod_c = np_gf_mul(gf, (1 << a)[None, :, None], const_c[:, None, :])  # (t2, 8, lm)
+    bits_c = (prod_c[..., None] >> a[None, None, None, :]) & 1  # (t2, 8, lm, 8)
+    m_chien = bits_c.transpose(0, 1, 2, 3).reshape(t2 * 8, lm * 8).astype(np.float32)
+    _BITMAT_CACHE[key] = (m_synd, m_chien)
+    return _BITMAT_CACHE[key]
+
+
+def _gf2_matmul(bits: jax.Array, mat: np.ndarray) -> jax.Array:
+    """(B, K) {0,1} @ (K, M) binary matrix over GF(2) via an MXU matmul.
+
+    Exact: counts stay far below float32's integer range; parity via mod 2.
+    """
+    prod = jnp.dot(bits.astype(jnp.float32), jnp.asarray(mat),
+                   preferred_element_type=jnp.float32)
+    return jnp.mod(prod, 2.0).astype(jnp.int32)
+
+
+def _rs_decode_batch(data: jax.Array, block_size: jax.Array, num_roots: int,
+                     first_root: int = 0, min_distance: int = 0,
+                     gf: GFTables = GF256):
     antilog = jnp.asarray(gf.antilog)
     log = jnp.asarray(gf.log)
     inverse = jnp.asarray(gf.inverse)
@@ -201,15 +279,22 @@ def rs_decode_jax(data: jax.Array, block_size: jax.Array, num_roots: int,
     B, L = data.shape
     t2 = num_roots // 2
     bs = block_size[:, None]
+    lm = order - 1
+    m_synd, m_chien = _bitlinear_mats(num_roots, first_root, gf)
+    shift = lm - block_size  # (B,) right-align offset
+    bit_w = jnp.arange(8, dtype=jnp.int32)
 
     def syndromes(d):
-        j = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
-        i = jnp.arange(num_roots, dtype=jnp.int32)[None, None, :]  # (1, 1, R)
-        deg = (bs[..., None] - 1 - j) % (order - 1)  # (B, L, 1)
-        power = ((first_root + i) * deg) % (order - 1)
-        term = _jmul(antilog, log, d[:, :, None], antilog[power])
-        term = jnp.where(j < bs[..., None], term, 0)
-        return _xor_reduce(term, axis=1)  # (B, R)
+        jp = jnp.arange(lm, dtype=jnp.int32)[None, :]
+        src = jp - shift[:, None]  # (B, lm); src in [0, bs) where valid
+        d_r = jnp.where(
+            src >= 0,
+            jnp.take_along_axis(d, jnp.clip(src, 0, L - 1), axis=1),
+            0,
+        )
+        bits = ((d_r[..., None] >> bit_w) & 1).reshape(B, lm * 8)
+        sb = _gf2_matmul(bits, m_synd).reshape(B, num_roots, 8)
+        return jnp.sum(sb << bit_w, axis=2).astype(jnp.int32)  # (B, R)
 
     synd = syndromes(data)
 
@@ -242,17 +327,16 @@ def rs_decode_jax(data: jax.Array, block_size: jax.Array, num_roots: int,
             [jnp.zeros((B, 1), jnp.int32), corrector[:, :-1]], axis=1
         )
 
-    # Chien search over all positions, masked to the block.
-    j = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
-    i = jnp.arange(1, t2 + 1, dtype=jnp.int32)[None, None, :]  # (1, 1, t2)
-    yv = j + order - bs[..., None]
-    z = (yv * i + log[locator[:, None, 1 : t2 + 1]]) % (order - 1)
-    terms = jnp.where(locator[:, None, 1 : t2 + 1] != 0, antilog[z], 0)
-    chien = _xor_reduce(terms, axis=2) ^ locator[:, None, 0]  # (B, L)
-    is_err = (chien == 0) & (j[..., 0] < bs)
+    # Chien search as a GF(2) matmul over the right-aligned frame.
+    loc_bits = ((locator[:, 1 : t2 + 1, None] >> bit_w) & 1).reshape(B, t2 * 8)
+    cb = _gf2_matmul(loc_bits, m_chien).reshape(B, lm, 8)
+    chien = jnp.sum(cb << bit_w, axis=2).astype(jnp.int32) ^ locator[:, None, 0]
+    jp = jnp.arange(lm, dtype=jnp.int32)[None, :]
+    j_orig = jp - shift[:, None]  # (B, lm) original byte positions
+    is_err = (chien == 0) & (j_orig >= 0)
     error_count = jnp.sum(is_err, axis=1).astype(jnp.int32)
     # positions in ascending order, padded with L (out of range)
-    loc_sorted = jnp.sort(jnp.where(is_err, j[..., 0], L), axis=1)[:, :t2]  # (B, t2)
+    loc_sorted = jnp.sort(jnp.where(is_err, j_orig, L), axis=1)[:, :t2]  # (B, t2)
 
     apply_fix = error_count <= (t2 - min_distance)
 
