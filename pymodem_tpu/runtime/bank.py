@@ -44,8 +44,6 @@ import numpy as np
 
 from .. import modems
 from ..config import (
-    AFSKModemSpec,
-    BinarySlicerSpec,
     ChainSpec,
     FourLevelSlicerSpec,
     QuadratureSlicerSpec,
@@ -55,7 +53,6 @@ from ..dsp.fir import fir_valid_multi, fir_valid_nd
 from ..dsp.loops import afsk_pll, bpsk_costas, mpsk_loop, qpsk_costas
 from ..ops.lfsr import descramble_bytes
 from ..ops.slicers import (
-    SlicerOut,
     binary_slice,
     compact_bytes,
     four_level_slice,

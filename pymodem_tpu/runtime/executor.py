@@ -12,8 +12,6 @@ pool replaced by compiled device programs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +29,6 @@ from ..config import (
 )
 from ..ops.lfsr import descramble_bytes
 from ..ops.slicers import (
-    SlicerOut,
     binary_slice,
     compact_bytes,
     four_level_slice,

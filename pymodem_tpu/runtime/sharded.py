@@ -23,21 +23,17 @@ candidate positions as in runtime/bank.py.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from . import bank as bank_mod
 from .bank import (
-    Bank,
     BlockPlan,
     _slicer_static,
     bank_capacity,
     demod_blocks,
-    frame_blocks,
     pack_bits,
     slice_blocks,
 )
@@ -134,10 +130,6 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
         # Frame all blocks' indices but slice this shard's rows: the gather
         # itself only reads this shard's windows after XLA DCE; audio is
         # replicated so there is no halo exchange to do.
-        local_plan = BlockPlan(
-            n_audio=plan.n_audio, trim=plan.trim,
-            block_len=plan.block_len, overlap=plan.overlap,
-        )
         total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
         padded = jnp.pad(
             audio_rep, (plan.overlap, total - plan.overlap - plan.n_audio)

@@ -19,11 +19,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..codecs.host import (
-    PID_TABLE,
     SCRAMBLE_POLY,
     SCRAMBLE_SEED,
     SYNC24,
-    U_CONTROL,
     block_layout,
     synthesize_ax25_header,
     Il2pHeader,
