@@ -95,6 +95,17 @@ def _pi_step(x, integral, params: LoopParams):
     return prop, integral
 
 
+def pi_update_reset(x, integral, params: LoopParams):
+    """PI update_reset (pi_control.py:16-23): the integral ZEROES on
+    overflow instead of saturating.  No reference modem uses this variant
+    (SURVEY.md section 2.3); provided for controller-API parity."""
+    prop = params.pi_gp * x
+    integral = integral + params.pi_gain * (params.pi_i * x)
+    integral = jnp.where(jnp.abs(integral) > params.pi_limit,
+                         jnp.zeros_like(integral), integral)
+    return prop, integral
+
+
 class _LoopCarry(NamedTuple):
     phase: jax.Array
     control: jax.Array

@@ -239,3 +239,28 @@ def test_rs_encode_roundtrip(rng):
     buf[60] ^= 0x11
     assert rs_ops.rs_decode_np(rs, buf, len(buf)) == 2
     np.testing.assert_array_equal(buf, codeword)
+
+
+def test_pi_update_reset_matches_reference(reference, rng):
+    """update_reset variant (unused by any modem) vs the reference class."""
+    import jax.numpy as jnp
+
+    from modems_codecs.pi_control import PI_control
+
+    from pymodem_tpu.dsp.loops import LoopParams, pi_update_reset
+    from pymodem_tpu.dsp.window_design import nco_wavetable
+
+    ref = PI_control(p=0.3, i=0.02, i_limit=5.0, gain=10.0)
+    params = LoopParams(
+        wavetable=jnp.asarray(nco_wavetable(256, 1.0)),
+        set_frequency=jnp.float64(0), phase_scale=jnp.float64(0),
+        index_scale=jnp.float64(0), iir_b0=jnp.float64(0), iir_a1=jnp.float64(0),
+        pi_gp=jnp.float64(10.0 * 0.3), pi_gain=jnp.float64(10.0),
+        pi_i=jnp.float64(0.02), pi_limit=jnp.float64(5.0),
+        pi_integral0=jnp.float64(0),
+    )
+    integral = jnp.float64(0.0)
+    for x in rng.standard_normal(200) * 3:
+        expected = ref.update_reset(float(x))
+        prop, integral = pi_update_reset(jnp.float64(x), integral, params)
+        assert float(prop + integral) == expected
