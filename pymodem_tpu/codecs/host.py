@@ -465,6 +465,23 @@ def il2p_seeded_sync_possible(first_bytes: np.ndarray, tolerance: int = 0) -> bo
     return False
 
 
+def il2p_seeded_sync_any(first_bytes: np.ndarray, tolerance: int = 0) -> np.ndarray:
+    """Vectorized il2p_seeded_sync_possible over a batch: first_bytes
+    (..., 4) uint8 -> (...) bool."""
+    fb = np.asarray(first_bytes, dtype=np.uint64)
+    word = np.full(fb.shape[:-1], 0xFFFFFF, dtype=np.uint64)
+    hit = np.zeros(fb.shape[:-1], dtype=bool)
+    for byte_i in range(4):
+        for k in range(7, -1, -1):
+            bit = (fb[..., byte_i] >> np.uint64(k)) & np.uint64(1)
+            word = ((word << np.uint64(1)) | bit) & np.uint64(0xFFFFFFFF)
+            hit |= (
+                np.bitwise_count((word & np.uint64(0xFFFFFF)) ^ np.uint64(SYNC24))
+                <= tolerance
+            ) | (np.bitwise_count(word ^ np.uint64(SYNC32)) <= tolerance)
+    return hit
+
+
 def il2p_decode_host(data: np.ndarray, addresses: np.ndarray, ident,
                      collect_trailing_crc=True, disable_rs=False,
                      min_distance=0, sync_tolerance=0,

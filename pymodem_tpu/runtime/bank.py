@@ -689,11 +689,19 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
             addr = np.asarray(addr)
             count = np.asarray(count)
             sync = np.asarray(sync)  # packed bitmap (C, B, cap) uint8
+        # vectorized block skip: a block without any sync candidate (and no
+        # possible seeded-history sync in its first 32 bits) emits nothing
+        from ..codecs.host import il2p_seeded_sync_any
+
+        has_cand = sync.any(axis=2) | il2p_seeded_sync_any(
+            data[:, :, :4], sync_tol
+        )
         for ci, chain in enumerate(bank.specs):
+            skippable = isinstance(chain.codec, IL2PCodecSpec)
             packets = []
             for b in range(plan.n_blocks):
                 n = int(count[ci, b])
-                if n == 0:
+                if n == 0 or (skippable and not has_cand[ci, b]):
                     continue
                 block_bytes = data[ci, b, :n].astype(np.int64)
                 # addresses are 1-based within the block's demod range,
