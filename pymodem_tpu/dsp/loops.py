@@ -214,13 +214,18 @@ class MPSKLoopParams(NamedTuple):
     base: LoopParams
     pd_table: jax.Array  # (granularity, granularity) int32 QPSK error table
     pd_granularity: jax.Array  # () int32
+    pd_gain: jax.Array  # () phase-detector gain (table build constant)
 
 
-def _pd_lookup(real, imag, table, granularity):
+def _pd_lookup(real, imag, table, granularity, gain):
     """Table-driven QPSK phase detector (phase_detector.py:124-149).
 
     Quantize by floor(v * granularity/2), clamp to +-(granularity-1), then
-    quadrant-fold into the first-quadrant table.
+    quadrant-fold into the first-quadrant table.  float64 gathers from the
+    table for bit parity; other dtypes compute the table's own formula --
+    round(gain*(atan2_deg(b,a)-45)) gated on magnitude -- on the SAME
+    quantized indices (a per-step gather inside a scan is far slower than
+    the transcendental on TPU; see _nco_step).
     """
     g = granularity
     half = g.astype(real.dtype) * jnp.asarray(0.5, real.dtype)
@@ -234,8 +239,17 @@ def _pd_lookup(real, imag, table, granularity):
     i_nonneg = i >= 0
     a = jnp.where(r_nonneg, jnp.where(i_nonneg, r, -i), jnp.where(i_nonneg, i, -r))
     b = jnp.where(r_nonneg, jnp.where(i_nonneg, i, r), jnp.where(i_nonneg, -r, -i))
-    flat = a * g + b
-    return jnp.take(table.reshape(-1), flat, axis=-1)
+    if real.dtype == jnp.float64:
+        flat = a * g + b
+        return jnp.take(table.reshape(-1), flat, axis=-1)
+    af = a.astype(real.dtype)
+    bf = b.astype(real.dtype)
+    mag2 = af * af + bf * bf
+    gf = g.astype(real.dtype)
+    gate = (mag2 >= (0.15 * 0.15) * gf * gf) & (mag2 <= (0.76 * 0.76) * gf * gf)
+    deg = jnp.arctan2(bf, af) * jnp.asarray(180.0 / jnp.pi, real.dtype)
+    err = jnp.round(gain * (deg - 45.0))
+    return jnp.where(gate, err, 0.0).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("unroll",))
@@ -257,7 +271,8 @@ def mpsk_loop(real_audio: jax.Array, imag_audio: jax.Array, params: MPSKLoopPara
         # ComplexNumber.multiply with arg = (cos, -sin):
         out_re = (re * cosine) - (im * (-sine))
         out_im = (cosine * im) + (re * (-sine))
-        err = _pd_lookup(out_re, out_im, params.pd_table, params.pd_granularity)
+        err = _pd_lookup(out_re, out_im, params.pd_table,
+                         params.pd_granularity, params.pd_gain)
         y = _iir_step(err.astype(re.dtype), c.iir_x, c.iir_y, base.iir_b0, base.iir_a1)
         prop, integral = _pi_step(y, c.integral, base)
         control = jnp.round(prop + integral)

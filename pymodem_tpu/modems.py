@@ -307,6 +307,7 @@ def mpsk_demod(spec: MPSKModemSpec, params: MPSKParams, audio,
         base=_loop_params(spec, dtype),
         pd_table=jnp.asarray(params.pd_table),
         pd_granularity=jnp.asarray(spec.pd_granularity, jnp.int32),
+        pd_gain=jnp.asarray(spec.pd_gain, dtype),
     )
     i_data, q_data = mpsk_loop(real, imag, loop, unroll=unroll)
     rrc = jnp.asarray(params.rrc, dtype)

@@ -197,6 +197,7 @@ def _chain_device_params(chain: ChainSpec, dtype):
         d["branch_a1"] = np_dtype.type(ba1)
     if chain.modem.kind == "mpsk":
         d["pd_granularity"] = np.int32(spec.pd_granularity)
+        d["pd_gain"] = np_dtype.type(spec.pd_gain)
     if chain.modem.kind == "fsk":
         # invert as a sign multiplier so banks can mix inverted chains
         d["modem"]["sign"] = np_dtype.type(-1.0 if spec.invert else 1.0)
@@ -323,6 +324,7 @@ def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
             base=_loop_from(params),
             pd_table=m["pd_table"],
             pd_granularity=params["pd_granularity"],
+            pd_gain=params["pd_gain"],
         )
         i_data, q_data = jax.vmap(
             lambda re, im: mpsk_loop(re, im, loop, unroll=unroll)

@@ -97,6 +97,7 @@ def _shard_demod_blocks(kind, chain_params, blocks, method, unroll):
             base=bank_mod._loop_from(chain_params),
             pd_table=m["pd_table"],
             pd_granularity=chain_params["pd_granularity"],
+            pd_gain=chain_params["pd_gain"],
         )
         i_data, q_data = jax.vmap(
             lambda re, im: mpsk_loop(re, im, loop, unroll=unroll)
@@ -183,12 +184,8 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
     your sweep banks); the block count is rounded up to a multiple of the
     'time' axis.
     """
-    from ..codecs.host import (
-        ax25_decode_host,
-        il2p_decode_host,
-        il2p_seeded_sync_possible,
-    )
-    from ..config import AX25CodecSpec, IL2PCodecSpec
+    from ..config import IL2PCodecSpec
+    from .bank import _dedup_block_boundary, host_decode_block
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -242,46 +239,14 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
                 n = int(count[ci, b])
                 if n == 0:
                     continue
-                codec = chain.codec
                 offset = b * plan.block_len - plan.overlap
-                block_bytes = data[ci, b, :n].astype(np.int64)
-                block_addr = addr[ci, b, :n].astype(np.int64) + offset
-                if isinstance(codec, AX25CodecSpec):
-                    pkts = ax25_decode_host(
-                        block_bytes, block_addr, codec.ident,
-                        min_packet_length=codec.min_packet_length,
-                        max_packet_length=codec.max_packet_length,
-                    )
-                elif isinstance(codec, IL2PCodecSpec):
-                    if not sync[ci, b, :n].any() and not il2p_seeded_sync_possible(
-                        data[ci, b, :4], codec.sync_tolerance
-                    ):
-                        continue
-                    pkts = il2p_decode_host(
-                        block_bytes, block_addr, codec.ident,
-                        collect_trailing_crc=codec.collect_trailing_crc,
-                        disable_rs=codec.disable_rs,
-                        min_distance=codec.min_distance,
-                        sync_tolerance=codec.sync_tolerance,
-                        sync_candidates=np.flatnonzero(
-                            np.unpackbits(sync[ci, b, :n])
-                        ),
-                    )
-                else:
-                    raise ValueError(type(codec))
+                pkts = host_decode_block(
+                    chain,
+                    data[ci, b, :n].astype(np.int64),
+                    addr[ci, b, :n].astype(np.int64) + offset,
+                    sync[ci, b],
+                )
                 lo, hi = plan.keep_range(b)
                 packets.extend(p for p in pkts if lo < p.streamaddress <= hi)
-            sl = chain.slicer
-            window = 16.0 * sl.sample_rate / sl.symbol_rate
-            packets.sort(key=lambda p: p.streamaddress)
-            deduped = []
-            for p in packets:
-                if (
-                    deduped
-                    and list(p.data) == list(deduped[-1].data)
-                    and p.streamaddress - deduped[-1].streamaddress < window
-                ):
-                    continue
-                deduped.append(p)
-            results[chain.name] = deduped
+            results[chain.name] = _dedup_block_boundary(packets, chain)
     return results

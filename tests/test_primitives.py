@@ -264,3 +264,28 @@ def test_pi_update_reset_matches_reference(reference, rng):
         expected = ref.update_reset(float(x))
         prop, integral = pi_update_reset(jnp.float64(x), integral, params)
         assert float(prop + integral) == expected
+
+
+def test_pd_lookup_computed_matches_table(rng):
+    """f32 computed phase-detector path == f64 table gathers (same quantized
+    indices; values differ only if atan2 ulps cross a round boundary)."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.dsp.loops import _pd_lookup
+    from pymodem_tpu.dsp.window_design import qpsk_error_table
+
+    g, gain = 64, 32.0
+    table = jnp.asarray(qpsk_error_table(g, gain))
+    re = rng.uniform(-2, 2, 4096)
+    im = rng.uniform(-2, 2, 4096)
+    via_table = _pd_lookup(
+        jnp.asarray(re, jnp.float64), jnp.asarray(im, jnp.float64),
+        table, jnp.int32(g), jnp.float64(gain),
+    )
+    computed = _pd_lookup(
+        jnp.asarray(re, jnp.float32), jnp.asarray(im, jnp.float32),
+        table, jnp.int32(g), jnp.float32(gain),
+    )
+    diff = np.abs(np.asarray(via_table) - np.asarray(computed))
+    assert (diff != 0).mean() < 0.001  # rare round-boundary flips only
+    assert diff.max() <= 1
