@@ -160,7 +160,7 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
 
         return jax.vmap(one_chain)(shard_params)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec_params = jax.tree_util.tree_map(lambda _: P("chain"), params)
     fn = shard_map(
@@ -170,7 +170,7 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
             P("chain", "time"), P("chain", "time"), P("chain", "time"),
             P("chain", "time"),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(params, audio)
 
