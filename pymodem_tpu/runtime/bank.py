@@ -46,6 +46,7 @@ from .. import modems
 from ..config import (
     ChainSpec,
     FourLevelSlicerSpec,
+    IL2PCodecSpec,
     QuadratureSlicerSpec,
 )
 from ..dsp.agc import agc_apply
@@ -783,6 +784,97 @@ def _dedup_block_boundary(packets, chain):
         deduped.append(p)
     return deduped
 
+
+
+def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
+                     dtype=None, block_seconds: float = 16.0,
+                     overlap_seconds: float = 6.0, method: str = "auto",
+                     unroll: int = 8):
+    """Decode SEVERAL recordings in one device program per bank.
+
+    Every file's overlap-save blocks concatenate along the block axis (the
+    recordings-batch analog of the reference's one-file-per-run driver), so
+    a whole corpus fills the lane dimension of a single dispatch.  Returns
+    one {chain_name: packets} dict per input file, each with per-file
+    stream addresses identical to decoding that file alone.
+    """
+    from .. import profiling
+    from ..codecs.host import il2p_seeded_sync_any
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    audios = [np.asarray(a) for a in audios]
+    results: list[dict[str, list]] = [dict() for _ in audios]
+    for bank in group_chains(chains, dtype):
+        sample_rate = bank.specs[0].modem.sample_rate
+        plans = [
+            default_block_plan(len(a), bank.trim, sample_rate, block_seconds,
+                               overlap_seconds)
+            for a in audios
+        ]
+        lin = max(p.block_input_len for p in plans)
+        # uniform geometry required to share one program: use the widest
+        assert all(p.block_input_len == lin for p in plans), (
+            "mixed block geometries; pass equal-rate recordings"
+        )
+        st = _slicer_static(bank)
+        cap = max(bank_capacity(bank, p) for p in plans)
+        sync_tol = max(
+            (
+                getattr(c.codec, "sync_tolerance", 0)
+                for c in bank.specs
+                if isinstance(c.codec, IL2PCodecSpec)
+            ),
+            default=0,
+        )
+        frames_list = []
+        owners = []  # (file_idx, block_idx)
+        for fi, (audio, plan) in enumerate(zip(audios, plans)):
+            padded = np.zeros(
+                plan.n_blocks * plan.block_len + plan.overlap + plan.trim,
+                dtype=np.float64,
+            )
+            padded[plan.overlap : plan.overlap + len(audio)] = audio
+            for b in range(plan.n_blocks):
+                s = b * plan.block_len
+                frames_list.append(padded[s : s + lin])
+                owners.append((fi, b))
+        frames = np.stack(frames_list)
+        data, addr, count, sync = bank_device_step_frames(
+            bank.kind, bank.slicer_kind, bank.params,
+            jnp.asarray(frames, dtype), cap,
+            bank.stream_poly, bank.stream_invert,
+            st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
+            st["compact_window"],
+        )
+        data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
+        has_cand = sync.any(axis=2) | il2p_seeded_sync_any(
+            data[:, :, :4], sync_tol
+        )
+        for ci, chain in enumerate(bank.specs):
+            skippable = isinstance(chain.codec, IL2PCodecSpec)
+            per_file: list[list] = [[] for _ in audios]
+            for gi, (fi, b) in enumerate(owners):
+                n = int(count[ci, gi])
+                if n == 0 or (skippable and not has_cand[ci, gi]):
+                    continue
+                plan = plans[fi]
+                offset = b * plan.block_len - plan.overlap
+                pkts = host_decode_block(
+                    chain,
+                    data[ci, gi, :n].astype(np.int64),
+                    addr[ci, gi, :n].astype(np.int64) + offset,
+                    sync[ci, gi],
+                )
+                lo, hi = plan.keep_range(b)
+                per_file[fi].extend(
+                    p for p in pkts if lo < p.streamaddress <= hi
+                )
+            for fi in range(len(audios)):
+                results[fi][chain.name] = _dedup_block_boundary(
+                    per_file[fi], chain
+                )
+    return results
 
 def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
                     block_seconds: float = 16.0, overlap_seconds: float = 6.0,

@@ -91,3 +91,24 @@ def test_banked_device_codec_parity(fixture_audio):
         a = [(p.streamaddress, list(p.data), p.bytes_corrected) for p in host[name]]
         b = [(p.streamaddress, list(p.data), p.bytes_corrected) for p in device[name]]
         assert a == b, name
+
+
+def test_multi_file_batch_matches_per_file(fixture_audio):
+    """run_banked_files == per-file run_banked, one device program."""
+    from pymodem_tpu.runtime.bank import run_banked, run_banked_files
+
+    path = os.path.join(CONFIG_DIR, "afsk_300.json")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    chains = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc Correlator"]
+    files = [audio[: rate * 60], audio[rate * 30 : rate * 90]]
+    batched = run_banked_files(chains, files)
+    for fi, f_audio in enumerate(files):
+        solo = run_banked(chains, f_audio)
+        for name in solo:
+            a = [(p.streamaddress, list(p.data)) for p in solo[name]]
+            b = [(p.streamaddress, list(p.data)) for p in batched[fi][name]]
+            assert a == b, (fi, name)
+        assert any(batched[fi].values())
