@@ -119,13 +119,17 @@ def _descramble_fixed(data, n_valid):
     return jnp.where(idx < n_valid, out, data.astype(jnp.int32))
 
 
-def _pack_bytes_at(bits_padded, bit_pos, count):
-    """Gather ``count`` bytes starting at bit offset ``bit_pos`` from a
-    zero-padded bit array."""
-    offs = bit_pos + jnp.arange(count * 8)
-    window = jnp.take(bits_padded, offs, mode="fill", fill_value=0)
-    weights = 1 << jnp.arange(7, -1, -1)
-    return jnp.sum(window.reshape(count, 8) * weights, axis=1).astype(jnp.int32)
+def _pack_bytes_at(byte_row, bit_pos, count):
+    """Extract ``count`` bytes starting at bit offset ``bit_pos`` from a
+    byte array (MSB-first bit order): out[i] spans source bytes
+    bit_pos//8 + i and +1.  Two byte gathers + shifts per output byte --
+    ~20x less gather traffic than unpacking to a bit array first."""
+    sh = (bit_pos % 8).astype(jnp.int32)
+    byte0 = bit_pos // 8
+    idx = byte0 + jnp.arange(count)
+    b0 = jnp.take(byte_row, idx, mode="fill", fill_value=0).astype(jnp.int32)
+    b1 = jnp.take(byte_row, idx + 1, mode="fill", fill_value=0).astype(jnp.int32)
+    return ((b0 << sh) | (b1 >> (8 - sh))) & 0xFF
 
 
 @partial(jax.jit, static_argnames=("max_packets", "collect_crc", "disable_rs",
@@ -178,7 +182,6 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     T = total_candidates if total_candidates else N * max_packets
     T = max(T, 8)
 
-    bits_all = bytes_to_bits_msb(data).astype(jnp.int32)  # (N, K8)
     bit_idx = jnp.arange(n_bits_total)
     cand = bytes_to_bits_msb(sync_packed).astype(jnp.bool_)
     cand = cand & (bit_idx[None, :] < (counts * 8)[:, None])
@@ -194,7 +197,7 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     pos = (src % n_bits_total).astype(jnp.int32)
     n_bits_of = counts[blk] * 8  # (T,)
 
-    rows = jnp.take(bits_all, blk, axis=0)  # (T, K8)
+    rows = jnp.take(data, blk, axis=0).astype(jnp.int32)  # (T, K) byte rows
 
     # ---- per-candidate fixed-shape decode (vmapped over T) ----
     hdr_raw = jax.vmap(lambda row, p: _pack_bytes_at(row, p + 1, 15))(rows, pos)

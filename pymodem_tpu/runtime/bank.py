@@ -646,7 +646,8 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
         if codec_key is not None:
             from ..packets import Packet
 
-            if codec_key[0] == "il2p":
+            with profiling.timed("device_codec_step"):
+              if codec_key[0] == "il2p":
                 out = bank_codec_step(
                     "il2p", data, addr, count, sync, plan,
                     max_packets=max_packets_per_block,
@@ -654,38 +655,40 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                     min_distance=codec_key[3],
                     total_candidates=total_candidates,
                 )
-            else:
+              else:
                 out = bank_codec_step(
                     "ax25", data, addr, count, sync, plan,
                     max_packets=max_packets_per_block,
                     min_packet_length=codec_key[1],
                     max_packet_length=codec_key[2],
                 )
-            out = {k: np.asarray(v) for k, v in out.items()}
-            for ci, chain in enumerate(bank.specs):
-                packets = []
-                for b in range(plan.n_blocks):
+              jax.block_until_ready(out)
+            with profiling.timed("device_codec_transfer"):
+                out = {k: np.asarray(v) for k, v in out.items()}
+            with profiling.timed("packet_objects"):
+                corrected = out.get("corrected")
+                hits = np.argwhere(out["ok"])  # (n_hits, 3)
+                per_chain: dict[int, list] = {}
+                for ci, b, p in hits:
+                    address = int(out["address"][ci, b, p])
                     lo, hi = plan.keep_range(b)
-                    for p in range(max_packets_per_block):
-                        if not out["ok"][ci, b, p]:
-                            continue
-                        address = int(out["address"][ci, b, p])
-                        if not (lo < address <= hi):
-                            continue
-                        length = int(out["length"][ci, b, p])
-                        packets.append(
-                            Packet(
-                                data=[int(v) for v in out["packet"][ci, b, p, :length]],
-                                streamaddress=address,
-                                source_decoder=chain.codec.ident,
-                                bytes_corrected=int(
-                                    out.get("corrected", np.zeros(1))[ci, b, p]
-                                )
-                                if "corrected" in out
-                                else 0,
-                            )
+                    if not (lo < address <= hi):
+                        continue
+                    length = int(out["length"][ci, b, p])
+                    per_chain.setdefault(int(ci), []).append(
+                        Packet(
+                            data=out["packet"][ci, b, p, :length].tolist(),
+                            streamaddress=address,
+                            source_decoder=bank.specs[ci].codec.ident,
+                            bytes_corrected=int(corrected[ci, b, p])
+                            if corrected is not None
+                            else 0,
                         )
-                results[chain.name] = _dedup_block_boundary(packets, chain)
+                    )
+                for ci, chain in enumerate(bank.specs):
+                    results[chain.name] = _dedup_block_boundary(
+                        per_chain.get(ci, []), chain
+                    )
             continue
         with profiling.timed("transfer"):
             data = np.asarray(data)
