@@ -543,6 +543,55 @@ def default_block_plan(n_audio: int, trim: int, sample_rate: float,
 
 
 
+def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
+                          max_packets_per_block, total_candidates):
+    """Run the on-device codec over bank outputs and build packet objects."""
+    from .. import profiling
+    from ..packets import Packet
+
+    with profiling.timed("device_codec_step"):
+        if codec_key[0] == "il2p":
+            out = bank_codec_step(
+                "il2p", data, addr, count, sync, plan,
+                max_packets=max_packets_per_block,
+                collect_crc=codec_key[1], disable_rs=codec_key[2],
+                min_distance=codec_key[3],
+                total_candidates=total_candidates,
+            )
+        else:
+            out = bank_codec_step(
+                "ax25", data, addr, count, sync, plan,
+                max_packets=max_packets_per_block,
+                min_packet_length=codec_key[1],
+                max_packet_length=codec_key[2],
+            )
+    with profiling.timed("device_codec_transfer"):
+        out = {k: np.asarray(v) for k, v in out.items()}
+    with profiling.timed("packet_objects"):
+        corrected = out.get("corrected")
+        per_chain: dict[int, list] = {}
+        for ci, b, p in np.argwhere(out["ok"]):
+            address = int(out["address"][ci, b, p])
+            lo, hi = plan.keep_range(b)
+            if not (lo < address <= hi):
+                continue
+            length = int(out["length"][ci, b, p])
+            per_chain.setdefault(int(ci), []).append(
+                Packet(
+                    data=out["packet"][ci, b, p, :length].tolist(),
+                    streamaddress=address,
+                    source_decoder=bank.specs[ci].codec.ident,
+                    bytes_corrected=int(corrected[ci, b, p])
+                    if corrected is not None
+                    else 0,
+                )
+            )
+        return {
+            chain.name: _dedup_block_boundary(per_chain.get(ci, []), chain)
+            for ci, chain in enumerate(bank.specs)
+        }
+
+
 def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
                         method, unroll, max_blocks_per_step):
     """Run the bank device program, grouped into fixed-shape block
@@ -644,51 +693,11 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
             )
         codec_key = _bank_uniform_codec(bank) if codec == "device" else None
         if codec_key is not None:
-            from ..packets import Packet
-
-            with profiling.timed("device_codec_step"):
-              if codec_key[0] == "il2p":
-                out = bank_codec_step(
-                    "il2p", data, addr, count, sync, plan,
-                    max_packets=max_packets_per_block,
-                    collect_crc=codec_key[1], disable_rs=codec_key[2],
-                    min_distance=codec_key[3],
-                    total_candidates=total_candidates,
-                )
-              else:
-                out = bank_codec_step(
-                    "ax25", data, addr, count, sync, plan,
-                    max_packets=max_packets_per_block,
-                    min_packet_length=codec_key[1],
-                    max_packet_length=codec_key[2],
-                )
-              jax.block_until_ready(out)
-            with profiling.timed("device_codec_transfer"):
-                out = {k: np.asarray(v) for k, v in out.items()}
-            with profiling.timed("packet_objects"):
-                corrected = out.get("corrected")
-                hits = np.argwhere(out["ok"])  # (n_hits, 3)
-                per_chain: dict[int, list] = {}
-                for ci, b, p in hits:
-                    address = int(out["address"][ci, b, p])
-                    lo, hi = plan.keep_range(b)
-                    if not (lo < address <= hi):
-                        continue
-                    length = int(out["length"][ci, b, p])
-                    per_chain.setdefault(int(ci), []).append(
-                        Packet(
-                            data=out["packet"][ci, b, p, :length].tolist(),
-                            streamaddress=address,
-                            source_decoder=bank.specs[ci].codec.ident,
-                            bytes_corrected=int(corrected[ci, b, p])
-                            if corrected is not None
-                            else 0,
-                        )
-                    )
-                for ci, chain in enumerate(bank.specs):
-                    results[chain.name] = _dedup_block_boundary(
-                        per_chain.get(ci, []), chain
-                    )
+            for name, pkts in _device_codec_packets(
+                bank, plan, codec_key, data, addr, count, sync,
+                max_packets_per_block, total_candidates,
+            ).items():
+                results[name] = pkts
             continue
         with profiling.timed("transfer"):
             data = np.asarray(data)

@@ -50,6 +50,9 @@ def main() -> int:
     rows = []
 
     h187 = jnp.asarray(np.random.randn(187).astype(np.float32))
+    dt = timed(lambda: fir_valid_nd(x, h187, "matmul"))
+    rows.append(("Toeplitz-matmul conv (MXU), 187 taps", samples / dt / 1e9,
+                 "Gsamples/s", f"{samples * 630 / dt / 1e12:.1f} TFLOP/s"))
     dt = timed(lambda: fir_valid_nd(x, h187, "fft"))
     rows.append(("overlap-save FFT conv, 187 taps", samples / dt / 1e9,
                  "Gsamples/s", f"{samples * 4 * 2 / dt / 1e9:.0f} GB/s eff"))
