@@ -58,10 +58,15 @@ class StreamDecoder:
     >>> for chunk in chunks:
     ...     packets += dec.feed(chunk)
     >>> packets += dec.flush()
+
+    ``overlap_seconds`` must cover loop acquisition PLUS the longest packet
+    duration (a 300 bps IL2P frame lasts ~4-5 s) -- packets straddling a
+    block boundary are decoded by the next block's halo, so a too-short
+    overlap silently drops them.  The defaults are safe down to 300 bps.
     """
 
     def __init__(self, chains, sample_rate: float, dtype=None,
-                 block_seconds: float = 4.0, overlap_seconds: float = 2.0,
+                 block_seconds: float = 8.0, overlap_seconds: float = 6.0,
                  blocks_per_step: int = 4, method: str = "auto",
                  unroll: int = 8):
         if dtype is None:
