@@ -161,28 +161,61 @@ def _matmul_conv(x: jax.Array, taps: jax.Array) -> jax.Array:
         jnp.take(taps, jnp.clip(tap_idx, 0, t - 1), axis=-1),
         0.0,
     )  # (K, TILE)
-    y = jnp.matmul(frames, band, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU f32 matmuls otherwise run reduced-precision passes,
+    # which flips bit-marginal slicer decisions in noise
+    y = jnp.matmul(frames, band, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return y.reshape(*x.shape[:-1], n_tiles * _MM_TILE)[..., :nout].astype(x.dtype)
 
 
 def fir_valid_multi(x: jax.Array, taps_stack: jax.Array,
                     method: str = "auto") -> jax.Array:
-    """Valid convolution of one signal with K tap sets sharing one FFT pass.
+    """Valid convolution of one signal with K tap sets in one pass.
 
-    x: (..., n); taps_stack: (K, t) -> (K, ..., n-t+1).  In ``fft`` mode the
-    signal spectrum is computed once and multiplied by all K tap spectra
-    (the AFSK mark/space correlator quad shares one rfft); ``direct`` falls
-    back to per-tap convolution.
+    x: (..., n); taps_stack: (K, t) -> (K, ..., n-t+1).  ``matmul`` (the
+    accelerator default) builds the Toeplitz frames once and multiplies
+    against all K banded matrices side by side -- the AFSK mark/space
+    correlator quad is a single MXU matmul.  ``fft`` shares one rfft of the
+    signal across the K tap spectra; ``direct`` (f64 parity) falls back to
+    per-tap convolution.
     """
     k, t = taps_stack.shape
     if method == "auto":
-        if x.dtype == jnp.float64:
-            method = "direct"
-        elif t <= 32:
-            method = "shift"
-        else:
-            method = "matmul"
-    if method in ("direct", "shift", "matmul"):
+        method = "direct" if x.dtype == jnp.float64 else "matmul"
+    if method == "matmul":
+        # one matmul for all K tap sets: shared frames, bands side by side
+        t_ = taps_stack.shape[-1]
+        n = x.shape[-1]
+        nout = n - t_ + 1
+        k_len = _MM_TILE + t_ - 1
+        n_tiles = -(-nout // _MM_TILE)
+        m = -(-k_len // _MM_TILE)
+        total_tiles = n_tiles + m
+        pad = total_tiles * _MM_TILE - n
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(pad, 0))])
+        xr = xp.reshape(*x.shape[:-1], total_tiles, _MM_TILE)
+        frames = jnp.concatenate(
+            [xr[..., s : s + n_tiles, :] for s in range(m)], axis=-1
+        )[..., :k_len]
+        kk = jnp.arange(k_len, dtype=jnp.int32)[:, None]
+        oo = jnp.arange(_MM_TILE, dtype=jnp.int32)[None, :]
+        tap_idx = t_ - 1 - (kk - oo)
+        sel = (tap_idx >= 0) & (tap_idx < t_)
+        bands = jnp.where(
+            sel[None],
+            jnp.take(taps_stack, jnp.clip(tap_idx, 0, t_ - 1), axis=-1),
+            0.0,
+        )  # (K_sets, k_len, TILE)
+        band = jnp.concatenate([bands[i] for i in range(k)], axis=-1)
+        y = jnp.matmul(frames, band, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        # (..., n_tiles, K_sets*TILE) -> (K_sets, ..., nout)
+        y = y.reshape(*x.shape[:-1], n_tiles, k, _MM_TILE)
+        y = jnp.moveaxis(y, -2, 0)
+        return y.reshape((k,) + x.shape[:-1] + (n_tiles * _MM_TILE,))[
+            ..., :nout
+        ].astype(x.dtype)
+    if method in ("direct", "shift"):
         return jnp.stack([fir_valid_nd(x, taps_stack[i], method) for i in range(k)])
     frames, fft_size, nout = _os_frame(x, t)
     hop = fft_size - t + 1
