@@ -48,6 +48,19 @@ def main(argv=None) -> int:
     else:
         from .runtime.executor import run_plan
 
+    # The reference validates the config BEFORE the audio (pymodem.py:35-46),
+    # so exit 3 wins when both are bad.  Chain construction needs the WAV's
+    # sample rate, so syntax-check the JSONL here and build chains after.
+    import json
+
+    try:
+        with open(argv[1]) as fh:
+            for raw in fh:
+                if raw.strip():
+                    json.loads(raw)
+    except Exception:
+        print("Unable to open config json file.")
+        return 3
     try:
         sample_rate, audio = read_wav(argv[2])
     except Exception:

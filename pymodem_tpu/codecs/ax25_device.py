@@ -43,14 +43,22 @@ class _Carry(NamedTuple):
                                    "unroll"))
 def ax25_decode_blocks(data: jax.Array, counts: jax.Array,
                        addresses: jax.Array, max_packets: int = 8,
-                       max_packet_len: int = 512, min_packet_length: int = 18,
+                       max_packet_len: int | None = None,
+                       min_packet_length: int = 18,
                        max_packet_length: int = 1023, unroll: int = 8):
     """Deframe HDLC packets from byte-stream blocks on device.
 
     data: (..., K) uint8; counts: (...,) valid byte counts; addresses:
     (..., K) per-byte stream addresses.  Returns (..., max_packets, ...)
     buffers: ``packet``, ``length``, ``address``, ``ok``, ``crc_ok``.
+
+    ``max_packet_len`` (packet-buffer width) defaults to
+    ``max_packet_length + 2`` -- the largest frame the FSM can close
+    (payload cap + CRC, ax25.py:15).  A caller-narrowed buffer never
+    truncates silently: frames longer than the buffer are marked not-ok.
     """
+    if max_packet_len is None:
+        max_packet_len = max_packet_length + 2
     batch = data.shape[:-1]
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch):])
     out = _ax25_flat(flat(data), counts.reshape(-1), flat(addresses),
@@ -152,7 +160,8 @@ def _ax25_flat(data, counts, addresses, max_packets, max_packet_len,
         end = jnp.zeros((max_packets,), jnp.int32).at[fscatter].add(
             cnt, mode="drop"
         )
-        length = jnp.clip(end - start, 0, max_packet_len)
+        raw_length = end - start
+        length = jnp.clip(raw_length, 0, max_packet_len)
 
         slot = jnp.arange(max_packet_len)[None, :]
         src = jnp.clip(start[:, None] + slot, 0, byte_cap - 1)
@@ -160,7 +169,7 @@ def _ax25_flat(data, counts, addresses, max_packets, max_packet_len,
             slot < length[:, None], jnp.take(stream, src, mode="clip"), 0
         )
         address = jnp.take(block_addr, jnp.clip(close_bit // 8, 0, K - 1)).astype(jnp.int32)
-        ok = slot_ok & (length > 0)
+        ok = slot_ok & (length > 0) & (raw_length <= max_packet_len)
         calc = crc16_masked(
             pkt.astype(jnp.uint8), jnp.maximum(length - 2, 0)
         ).astype(jnp.int32)

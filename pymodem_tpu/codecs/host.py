@@ -338,11 +338,21 @@ class Il2pDecoder:
                 or _popcount32(word ^ SYNC32) <= self.sync_tolerance
             ):
                 return i, word
+        # Candidate maps may be built at a bank-wide (max) tolerance; re-check
+        # each candidate against THIS chain's tolerance before accepting, so a
+        # low-tolerance chain banked with a high-tolerance one never syncs on
+        # a near-miss word the reference would reject (il2p.py:367-376).
         pos = np.searchsorted(self.sync_candidates, start + 32)
-        if pos >= len(self.sync_candidates):
-            return None
-        i = int(self.sync_candidates[pos])
-        return i, self._word_at(bits, i)
+        while pos < len(self.sync_candidates):
+            i = int(self.sync_candidates[pos])
+            w = self._word_at(bits, i)
+            if (
+                _popcount32((w & 0xFFFFFF) ^ SYNC24) <= self.sync_tolerance
+                or _popcount32(w ^ SYNC32) <= self.sync_tolerance
+            ):
+                return i, w
+            pos += 1
+        return None
 
     def _collect(self, bits: np.ndarray, pos: int, count: int) -> int | None:
         """Collect ``count`` bytes from the bit stream into self.buffer;

@@ -310,24 +310,28 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     )
 
     # ---- acceptance scan (candidates are (block, pos)-ordered) ----
+    # ``take`` consumes the candidate's span (the FSM moves past a failed RS
+    # decode's collected bytes too); ``rank`` counts only EMITTED packets, so
+    # RS-failed candidates never use up the per-block max_packets budget.
     def accept_step(carry, xs):
         cur_blk, resume, rank = carry
-        b, p, sp, v, nb = xs
+        b, p, sp, v, s_ok, nb = xs
         new_block = b != cur_blk
         resume = jnp.where(new_block, 0, resume)
         rank = jnp.where(new_block, 0, rank)
         take = v & (p >= resume)
         resume = jnp.where(take & (p < nb), p + sp, resume)
+        emit_here = take & s_ok
         out_rank = rank
-        rank = jnp.where(take, rank + 1, rank)
-        return (b, resume, rank), (take, out_rank)
+        rank = jnp.where(emit_here, rank + 1, rank)
+        return (b, resume, rank), (emit_here, out_rank)
 
     z = jnp.zeros((), jnp.int32)
-    _, (accepted, rank) = jax.lax.scan(
+    _, (emit, rank) = jax.lax.scan(
         accept_step, (jnp.full((), -1, jnp.int32), z, z),
-        (blk, pos, span.astype(jnp.int32), cand_valid, n_bits_of),
+        (blk, pos, span.astype(jnp.int32), cand_valid, structural_ok,
+         n_bits_of),
     )
-    emit = accepted & structural_ok
 
     last_bit = jnp.clip(pos + span - 1, 0, n_bits_total - 1)
     address = addresses[blk, jnp.clip(last_bit // 8, 0, K - 1)].astype(jnp.int32)
@@ -342,6 +346,21 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
                        dtype=values.dtype)
         return buf.at[out_blk, out_rank].set(values)[:N]
 
+    # per-block saturation signal: candidates lost to global compaction
+    # (slot budget T exhausted) plus emitted packets beyond max_packets.
+    # dropped > 0 means this block's result may be incomplete -- callers
+    # fall back to the host FSM for it.
+    per_block_cands = jnp.sum(cand, axis=1).astype(jnp.int32)
+    assigned = (
+        jnp.zeros((N + 1,), jnp.int32)
+        .at[jnp.where(cand_valid, blk, N)].add(1)[:N]
+    )
+    over = (
+        jnp.zeros((N + 1,), jnp.int32)
+        .at[jnp.where(emit & (rank >= max_packets), blk, N)].add(1)[:N]
+    )
+    dropped = (per_block_cands - assigned) + over
+
     return {
         "packet": scatter(pkt),
         "length": scatter(jnp.where(emit, total_len, 0)),
@@ -349,4 +368,5 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
         "ok": scatter(emit),
         "crc_ok": scatter(emit & crc_ok),
         "corrected": scatter(jnp.where(emit, corrected, 0)),
+        "dropped": dropped,
     }

@@ -7,7 +7,7 @@ calculated one (the Hamming-distance threshold in CheckCRC is <= 0, i.e.
 equality; crc_functions.py:56-61).
 
 We use the standard byte-at-a-time table form, which is algebraically
-identical; equivalence is asserted against the reference in tests/test_crc.py.
+identical; equivalence is asserted against the reference in tests/test_primitives.py.
 """
 
 from __future__ import annotations

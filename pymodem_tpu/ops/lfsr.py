@@ -16,7 +16,7 @@ no scan).  This also makes time-block sharding trivial: the only halo is
 ``highest set bit of poly`` bits of the previous block.
 
 Verified bit-exact against the reference implementation in
-tests/test_lfsr.py.
+tests/test_primitives.py.
 """
 
 from __future__ import annotations

@@ -16,7 +16,7 @@ failure while leaving any corrections applied.
 everything is vectorized over a batch of blocks, loops are unrolled to the
 static root count, and data-dependent sizes become masks.  Equivalence to the
 numpy version (and transitively to the reference) is asserted in
-tests/test_rs.py over randomized error patterns.
+tests/test_primitives.py over randomized error patterns.
 """
 
 from __future__ import annotations

@@ -226,7 +226,13 @@ def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
             getattr(sl, "state_mask", None),
             getattr(sl, "demap", None),
         )
-        key = (chain.modem.kind, _tree_shapes(params), slicer_static, poly, invert)
+        # Rates are part of the key: bank_capacity and the block plan derive
+        # from the bank's rates, so chains differing only in sample/symbol
+        # rate must not share a bank (a higher-byte-rate chain would overflow
+        # a capacity sized for the first spec).
+        rates = (chain.modem.sample_rate, sl.sample_rate, sl.symbol_rate)
+        key = (chain.modem.kind, _tree_shapes(params), slicer_static, poly,
+               invert, rates)
         if key not in banks:
             banks[key] = Bank(
                 kind=chain.modem.kind,
@@ -391,11 +397,15 @@ def _slicer_static(bank: Bank) -> dict:
 
 
 def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
-    sl = bank.specs[0].slicer
-    sps = sl.sample_rate / sl.symbol_rate
-    bps = getattr(sl, "bits_per_symbol", 2 if sl.kind == "4level" else 1)
-    nominal = (plan.block_len + plan.overlap) / sps * bps / 8.0
-    cap = int(nominal * 1.5) + 16
+    # max over specs: robust even if a future grouping key change lets
+    # mixed-rate chains share a bank
+    cap = 16
+    for c in bank.specs:
+        sl = c.slicer
+        sps = sl.sample_rate / sl.symbol_rate
+        bps = getattr(sl, "bits_per_symbol", 2 if sl.kind == "4level" else 1)
+        nominal = (plan.block_len + plan.overlap) / sps * bps / 8.0
+        cap = max(cap, int(nominal * 1.5) + 16)
     return -(-cap // 8) * 8
 
 
@@ -569,8 +579,18 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
         out = {k: np.asarray(v) for k, v in out.items()}
     with profiling.timed("packet_objects"):
         corrected = out.get("corrected")
+        # blocks whose candidate compaction saturated (device result may be
+        # incomplete) fall back to the exact host FSM
+        dropped = out.get("dropped")
+        fallback = (
+            set(map(tuple, np.argwhere(dropped > 0)))
+            if dropped is not None
+            else set()
+        )
         per_chain: dict[int, list] = {}
         for ci, b, p in np.argwhere(out["ok"]):
+            if (ci, b) in fallback:
+                continue
             address = int(out["address"][ci, b, p])
             lo, hi = plan.keep_range(b)
             if not (lo < address <= hi):
@@ -586,6 +606,24 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                     else 0,
                 )
             )
+        for ci, b in sorted(fallback):
+            chain = bank.specs[ci]
+            n = int(np.asarray(count[ci, b]))
+            if n == 0:
+                continue
+            offset = b * plan.block_len - plan.overlap
+            pkts = host_decode_block(
+                chain,
+                np.asarray(data[ci, b, :n]).astype(np.int64),
+                np.asarray(addr[ci, b, :n]).astype(np.int64) + offset,
+                np.asarray(sync[ci, b]),
+            )
+            lo, hi = plan.keep_range(b)
+            per_chain.setdefault(int(ci), []).extend(
+                p for p in pkts if lo < p.streamaddress <= hi
+            )
+        for pkts in per_chain.values():
+            pkts.sort(key=lambda p: p.streamaddress)
         return {
             chain.name: _dedup_block_boundary(per_chain.get(ci, []), chain)
             for ci, chain in enumerate(bank.specs)
@@ -819,16 +857,15 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
     results: list[dict[str, list]] = [dict() for _ in audios]
     for bank in group_chains(chains, dtype):
         sample_rate = bank.specs[0].modem.sample_rate
+        # uniform geometry so every file's blocks share one compiled program:
+        # short files use the standard block size too (padded + keep-clipped)
+        # instead of default_block_plan's shrunken single block
+        block_len = max(int(block_seconds * sample_rate), 1)
+        overlap = int(overlap_seconds * sample_rate)
         plans = [
-            default_block_plan(len(a), bank.trim, sample_rate, block_seconds,
-                               overlap_seconds)
-            for a in audios
+            BlockPlan(len(a), bank.trim, block_len, overlap) for a in audios
         ]
-        lin = max(p.block_input_len for p in plans)
-        # uniform geometry required to share one program: use the widest
-        assert all(p.block_input_len == lin for p in plans), (
-            "mixed block geometries; pass equal-rate recordings"
-        )
+        lin = plans[0].block_input_len
         st = _slicer_static(bank)
         cap = max(bank_capacity(bank, p) for p in plans)
         sync_tol = max(

@@ -107,6 +107,9 @@ class StreamDecoder:
         self._results: dict[str, list] = {
             c.name: [] for c in chains
         }
+        # per-chain count of deduplicated packets already returned by
+        # feed()/flush() -- the incremental view of packets()
+        self._n_emitted: dict[str, int] = {c.name: 0 for c in chains}
         self._total = 0  # absolute samples received
 
     def _frames_for(self, state: _BankState, first_block: int, n_blocks: int,
@@ -194,7 +197,6 @@ class StreamDecoder:
                 state.next_block += self.blocks_per_step
                 for name, pkts in decoded.items():
                     self._results[name].extend(pkts)
-                    fresh.extend(pkts)
             needed_from = state.next_block * self.block_len - self.overlap
             min_needed_from = min(min_needed_from, max(needed_from, 0))
         # drop audio no bank will read again
@@ -202,25 +204,34 @@ class StreamDecoder:
         if drop > 0:
             self._audio = self._audio[drop:]
             self._consumed += drop
-        return fresh
+        return self._emit_fresh()
 
     def flush(self) -> list:
         """Decode the final partial blocks; returns the remaining packets."""
-        fresh: list = []
         for state in self._banks:
             n_demod = self._total - state.plan.trim
             last_block = max(-(-n_demod // self.block_len) - 1, -1)
             if last_block < state.next_block:
                 continue
-            n_blocks = last_block - state.next_block + 1
             for start in range(state.next_block, last_block + 1,
                                self.blocks_per_step):
                 n = min(self.blocks_per_step, last_block - start + 1)
                 decoded = self._decode_blocks(state, start, n, final=True)
                 for name, pkts in decoded.items():
                     self._results[name].extend(pkts)
-                    fresh.extend(pkts)
             state.next_block = last_block + 1
+        return self._emit_fresh()
+
+    def _emit_fresh(self) -> list:
+        """Newly deduplicated packets since the last feed()/flush().
+
+        Blocks decode in address order per chain, so the deduplicated list
+        only ever grows at the tail; returning the suffix past the emitted
+        count gives incremental results identical to packets()."""
+        fresh: list = []
+        for name, pkts in self.packets().items():
+            fresh.extend(pkts[self._n_emitted[name]:])
+            self._n_emitted[name] = len(pkts)
         return fresh
 
     def packets(self) -> dict[str, list]:

@@ -62,3 +62,59 @@ def payloads(rng: np.random.Generator, count: int = 3,
     return [
         bytes(rng.choice(alphabet, size=size)) for _ in range(count)
     ]
+
+
+def synthesize_for_chain(chain, rate: float, rng: np.random.Generator,
+                         n_frames: int = 3, size: int = 30,
+                         gap_bits: int = 600):
+    """Audio carrying ``n_frames`` frames, line-coded per the chain's OWN
+    spec (codec family, scrambler poly/invert, modem tones/rates read from
+    the parsed config) -- golden audio matched to any bundled config.
+    Returns (sent_payloads, audio_float)."""
+    from ..config import (
+        AFSKModemSpec,
+        AFSKPLLModemSpec,
+        AX25CodecSpec,
+        BPSKModemSpec,
+        FourLevelSlicerSpec,
+        FSKModemSpec,
+        MPSKModemSpec,
+        QPSKModemSpec,
+    )
+
+    poly = chain.stream.polynomial if chain.stream else 0x1
+    invert = bool(chain.stream.invert) if chain.stream else False
+    sent = payloads(rng, count=n_frames, size=size)
+    modem = chain.modem
+    if isinstance(chain.codec, AX25CodecSpec):
+        line = ax25_line_bits(sent, polynomial=poly, invert=invert,
+                              gap_bits=gap_bits)
+    else:
+        line = il2p_line_bits(sent, polynomial=poly, invert=invert,
+                              gap_bits=gap_bits)
+
+    if isinstance(modem, AFSKModemSpec):
+        return sent, mod.afsk_modulate(line, rate, modem.symbol_rate,
+                                       modem.mark_freq, modem.space_freq)
+    if isinstance(modem, AFSKPLLModemSpec):
+        return sent, mod.afsk_modulate(line, rate, modem.symbol_rate,
+                                       modem.carrier_freq - 5.0,
+                                       modem.carrier_freq + 5.0)
+    if isinstance(modem, BPSKModemSpec):
+        return sent, mod.bpsk_modulate(line, rate, modem.symbol_rate,
+                                       modem.carrier_freq)
+    if isinstance(modem, (QPSKModemSpec, MPSKModemSpec)):
+        constellation = getattr(modem, "constellation", "qpsk")
+        if constellation == "bpsk":
+            return sent, mod.bpsk_modulate(line, rate, modem.symbol_rate,
+                                           modem.carrier_freq)
+        return sent, mod.qpsk_modulate(line, rate, modem.symbol_rate,
+                                       modem.carrier_freq)
+    if isinstance(modem, FSKModemSpec):
+        if isinstance(chain.slicer, FourLevelSlicerSpec):
+            dibits = [(a << 1) | b for a, b in zip(line[::2], line[1::2])]
+            return sent, mod.four_level_modulate(
+                dibits, rate, chain.slicer.symbol_rate
+            )
+        return sent, mod.fsk_modulate(line, rate, modem.symbol_rate)
+    raise ValueError(type(modem))

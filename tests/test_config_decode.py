@@ -14,17 +14,7 @@ import os
 import numpy as np
 import pytest
 
-from pymodem_tpu.config import (
-    AFSKModemSpec,
-    AFSKPLLModemSpec,
-    AX25CodecSpec,
-    BPSKModemSpec,
-    FourLevelSlicerSpec,
-    FSKModemSpec,
-    MPSKModemSpec,
-    QPSKModemSpec,
-    load_plan,
-)
+from pymodem_tpu.config import load_plan
 from pymodem_tpu.runtime.bank import run_plan_banked
 from pymodem_tpu.synth import fixtures as fx
 from pymodem_tpu.synth import modulate as mod
@@ -54,43 +44,8 @@ N_FRAMES = 3
 
 
 def _synthesize_for_chain(chain, rate, rng):
-    """Audio carrying N_FRAMES frames, line-coded per the chain's own spec."""
-    poly = chain.stream.polynomial if chain.stream else 0x1
-    invert = bool(chain.stream.invert) if chain.stream else False
-    sent = fx.payloads(rng, count=N_FRAMES, size=30)
-    modem = chain.modem
-    if isinstance(chain.codec, AX25CodecSpec):
-        line = fx.ax25_line_bits(sent, polynomial=poly, invert=invert,
-                                 gap_bits=600)
-    else:
-        line = fx.il2p_line_bits(sent, polynomial=poly, invert=invert,
-                                 gap_bits=600)
-
-    if isinstance(modem, AFSKModemSpec):
-        return sent, mod.afsk_modulate(line, rate, modem.symbol_rate,
-                                       modem.mark_freq, modem.space_freq)
-    if isinstance(modem, AFSKPLLModemSpec):
-        return sent, mod.afsk_modulate(line, rate, modem.symbol_rate,
-                                       modem.carrier_freq - 5.0,
-                                       modem.carrier_freq + 5.0)
-    if isinstance(modem, BPSKModemSpec):
-        return sent, mod.bpsk_modulate(line, rate, modem.symbol_rate,
-                                       modem.carrier_freq)
-    if isinstance(modem, (QPSKModemSpec, MPSKModemSpec)):
-        constellation = getattr(modem, "constellation", "qpsk")
-        if constellation == "bpsk":
-            return sent, mod.bpsk_modulate(line, rate, modem.symbol_rate,
-                                           modem.carrier_freq)
-        return sent, mod.qpsk_modulate(line, rate, modem.symbol_rate,
-                                       modem.carrier_freq)
-    if isinstance(modem, FSKModemSpec):
-        if isinstance(chain.slicer, FourLevelSlicerSpec):
-            dibits = [(a << 1) | b for a, b in zip(line[::2], line[1::2])]
-            return sent, mod.four_level_modulate(
-                dibits, rate, chain.slicer.symbol_rate
-            )
-        return sent, mod.fsk_modulate(line, rate, modem.symbol_rate)
-    raise ValueError(type(modem))
+    return fx.synthesize_for_chain(chain, rate, rng, n_frames=N_FRAMES,
+                                   size=30, gap_bits=600)
 
 
 @pytest.mark.parametrize("name", sorted(RATES))
