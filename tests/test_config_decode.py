@@ -27,6 +27,9 @@ RATES = {
     "afsk_1200.json": 44100,
     "afsk_1200_il2p.json": 44100,
     "afsk_1200_ax25_opt.json": 44100,
+    # the flagship 8-chain space-gain sweep bank: exercises multi-chain
+    # bank grouping end-to-end (all 8 chains share one vmapped program)
+    "afsk_1200_ax25_super_opt.json": 44100,
     "afsk_300_ax25.json": 8000,
     "afsk_300_pll.json": 8000,
     "bpsk_300.json": 8000,
