@@ -52,6 +52,11 @@ class AFSKModemSpec:
     output_lpf_span: float = 2.5
     correlator_span: float = 1.0
     correlator_offset: float = 0.0
+    # afsk.py:68 fixes this at 1.0 (no StringOptionsRetune key), but the
+    # demod path at afsk.py:164-165 honors >1: polyphase upsample before the
+    # output LPF, output_sample_rate scaled (afsk.py:146).  Exposed here as a
+    # config option; handled by the sequential runtime.
+    output_oversample: float = 1.0
 
     _OPTION_KEYS = (
         "symbol_rate",
@@ -66,12 +71,13 @@ class AFSKModemSpec:
         "space_freq",
         "correlator_span",
         "correlator_offset",
+        "output_oversample",
     )
 
     @property
     def output_sample_rate(self) -> float:
-        # output_oversample is fixed at 1.0 in the reference (afsk.py:68).
-        return self.sample_rate
+        # afsk.py:146: output_oversample * sample_rate
+        return self.output_oversample * self.sample_rate
 
 
 _AFSK_PRESETS: dict[str, dict[str, float]] = {

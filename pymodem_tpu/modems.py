@@ -129,22 +129,60 @@ class AFSKParams(NamedTuple):
     mark_q: np.ndarray
     space_i: np.ndarray
     space_q: np.ndarray
+    # polyphase upsample filter for output_oversample > 1 (afsk.py:164-165);
+    # zero-length array when the branch is off (the common case)
+    resample_taps: np.ndarray = np.zeros(0)
+    oversample: int = 1
+
+
+def _resample_poly_taps(up: int) -> np.ndarray:
+    """The exact anti-imaging filter scipy.signal.resample_poly(x, up, 1)
+    designs internally: kaiser(beta=5.0)-windowed sinc, cutoff 1/up,
+    2*10*up+1 taps, scaled by up."""
+    from scipy.signal import firwin
+
+    half_len = 10 * up
+    return up * firwin(2 * half_len + 1, 1.0 / up, window=("kaiser", 5.0))
 
 
 def afsk_params(spec: AFSKModemSpec) -> AFSKParams:
     n_in = _round_taps(spec.sample_rate, spec.input_bpf_span, spec.symbol_rate)
+    # tap counts derive from the OUTPUT rate for the post-resample LPF
+    # (afsk.py:103-108 uses self.sample_rate; with oversample they act on the
+    # upsampled stream, and the reference computes them from sample_rate --
+    # we keep its arithmetic exactly)
     n_out = _round_taps(spec.sample_rate, spec.output_lpf_span, spec.symbol_rate)
     mark_i, mark_q, space_i, space_q = wd.tone_correlators(
         spec.sample_rate, spec.symbol_rate, spec.correlator_span,
         spec.mark_freq, spec.space_freq, spec.space_gain, spec.correlator_offset,
     )
+    oversample = int(spec.output_oversample)
     return AFSKParams(
         input_bpf=wd.bandpass_taps(
             n_in, spec.input_bpf_low_cutoff, spec.input_bpf_high_cutoff, spec.sample_rate
         ),
         output_lpf=wd.lowpass_taps(n_out, spec.output_lpf_cutoff, spec.sample_rate),
         mark_i=mark_i, mark_q=mark_q, space_i=space_i, space_q=space_q,
+        resample_taps=(
+            _resample_poly_taps(oversample) if oversample > 1 else np.zeros(0)
+        ),
+        oversample=oversample,
     )
+
+
+def _upsample_poly(x, taps, up: int):
+    """jnp equivalent of scipy.signal.resample_poly(x, up, 1): zero-stuff to
+    n*up, centered FIR with the kaiser anti-imaging filter.  Output length
+    n*up, matching scipy's trim (signaltools: n_pre_remove=(len(h)-1)//2)."""
+    n = x.shape[-1]
+    stuffed = jnp.zeros(x.shape[:-1] + (n * up,), x.dtype)
+    stuffed = stuffed.at[..., ::up].set(x)
+    h = jnp.asarray(taps, x.dtype)
+    # taps are odd (2*10*up+1): 'valid' conv of the half-padded stream
+    # equals scipy's centered full-conv trim y_full[half : half + n*up]
+    half = (h.shape[-1] - 1) // 2
+    pad = [(0, 0)] * (x.ndim - 1) + [(half, half)]
+    return fir_valid(jnp.pad(stuffed, pad), h, "auto")
 
 
 def afsk_demod(params: AFSKParams, audio, method: str = "auto"):
@@ -156,6 +194,8 @@ def afsk_demod(params: AFSKParams, audio, method: str = "auto"):
         jnp.asarray(params.space_i, dtype), jnp.asarray(params.space_q, dtype),
         method,
     )
+    if params.oversample > 1:
+        diff = _upsample_poly(diff, params.resample_taps, params.oversample)
     return fir_valid(diff, jnp.asarray(params.output_lpf, dtype), method)
 
 

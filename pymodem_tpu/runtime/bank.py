@@ -705,6 +705,13 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    for c in chains:
+        if getattr(c.modem, "output_oversample", 1.0) > 1.0:
+            raise ValueError(
+                f"chain {c.name!r}: output_oversample > 1 changes the "
+                "demod-output rate; run it via the sequential executor "
+                "(run_plan_banked routes it there automatically)"
+            )
     audio = np.asarray(audio)
     results: dict[str, list] = {}
     with profiling.timed("group_chains"):
@@ -939,11 +946,24 @@ def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
 
     if verbose:
         print(f"banked runtime: {len(plan.chains)} chains")
+    # AFSK output_oversample > 1 (afsk.py:164-165) changes the demod-output
+    # rate, which the block plan's trim arithmetic does not model; such
+    # chains run through the sequential executor instead.
+    from .executor import run_chain
+
+    seq_chains = [
+        c for c in plan.chains
+        if getattr(c.modem, "output_oversample", 1.0) > 1.0
+    ]
+    banked_chains = [c for c in plan.chains if c not in seq_chains]
     by_name = run_banked(
-        plan.chains, audio, dtype=dtype, block_seconds=block_seconds,
+        banked_chains, audio, dtype=dtype, block_seconds=block_seconds,
         overlap_seconds=overlap_seconds, method=method, unroll=unroll,
         codec=codec,
     )
+    for c in seq_chains:
+        by_name[c.name] = run_chain(c, audio, dtype=dtype, method=method,
+                                    unroll=unroll)
     aggregate = PacketAggregate()
     for chain in plan.chains:
         aggregate.add(by_name.get(chain.name, []))

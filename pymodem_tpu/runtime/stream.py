@@ -243,3 +243,63 @@ class StreamDecoder:
         for name, pkts in self._results.items():
             out[name] = _dedup_block_boundary(list(pkts), name_to_chain[name])
         return out
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume
+    # ------------------------------------------------------------------
+
+    def state(self) -> dict:
+        """JSON-serializable checkpoint of the decode progress.
+
+        Captures the retained audio tail, stream counters, per-bank block
+        progress and accumulated packets -- everything mutable.  Restore
+        into a NEW StreamDecoder built with the same chains and settings:
+
+        >>> blob = json.dumps(dec.state())
+        >>> dec2 = StreamDecoder(chains, rate, ...)   # same construction
+        >>> dec2.restore(json.loads(blob))
+
+        The reference has no equivalent (its whole WAV is one shot,
+        SURVEY.md section 5); the block runtime's carry structure makes the
+        checkpoint a few KB regardless of how many hours were decoded.
+        """
+        from dataclasses import asdict
+
+        return {
+            "version": 1,
+            "consumed": int(self._consumed),
+            "total": int(self._total),
+            "audio_tail": self._audio.tolist(),
+            "next_block": [st.next_block for st in self._banks],
+            "n_emitted": dict(self._n_emitted),
+            "results": {
+                name: [asdict(p) for p in pkts]
+                for name, pkts in self._results.items()
+            },
+        }
+
+    def restore(self, state: dict) -> None:
+        """Restore a state() checkpoint into this (freshly built) decoder.
+
+        The decoder must have been constructed with the same chains and
+        block geometry as the one that produced the checkpoint; continuing
+        feeds after restore yields packets identical to an uninterrupted
+        decode (tests/test_stream.py)."""
+        from ..packets import Packet
+
+        if state.get("version") != 1:
+            raise ValueError(f"unknown checkpoint version: {state.get('version')!r}")
+        if len(state["next_block"]) != len(self._banks):
+            raise ValueError("checkpoint bank count does not match decoder")
+        if set(state["results"]) != set(self._results):
+            raise ValueError("checkpoint chain names do not match decoder")
+        self._consumed = int(state["consumed"])
+        self._total = int(state["total"])
+        self._audio = np.asarray(state["audio_tail"], dtype=np.float64)
+        for st, nb in zip(self._banks, state["next_block"]):
+            st.next_block = int(nb)
+        self._n_emitted = {k: int(v) for k, v in state["n_emitted"].items()}
+        self._results = {
+            name: [Packet(**d) for d in pkts]
+            for name, pkts in state["results"].items()
+        }

@@ -54,3 +54,52 @@ def test_stream_matches_oneshot(fixture_audio, chunk_len):
 
     # bounded memory: retained audio never exceeds a few block groups
     assert len(dec._audio) <= (4 * 4 + 6 + 2) * rate
+
+
+def test_stream_checkpoint_resume(fixture_audio):
+    """Kill-and-resume through a JSON checkpoint equals continuous decode."""
+    import json
+    import os
+
+    if not os.path.exists(CONFIG):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    audio = audio[: rate * 60]
+    plan = load_plan(CONFIG, rate)
+    chains = [
+        c for c in plan.chains
+        if c.name in ("AFSK 300 Il2Pc PLL inverted", "AFSK 300 Il2Pc Correlator")
+    ]
+
+    def mk():
+        return StreamDecoder(chains, rate, block_seconds=4.0,
+                             overlap_seconds=6.0, blocks_per_step=2)
+
+    chunks = [audio[i : i + 50_000] for i in range(0, len(audio), 50_000)]
+
+    continuous = mk()
+    got_cont = []
+    for c in chunks:
+        got_cont.extend(continuous.feed(c))
+    got_cont.extend(continuous.flush())
+
+    # decode half, checkpoint through JSON, resume in a NEW decoder
+    first = mk()
+    got = []
+    kill_at = len(chunks) // 2
+    for c in chunks[:kill_at]:
+        got.extend(first.feed(c))
+    blob = json.dumps(first.state())
+    del first
+
+    resumed = mk()
+    resumed.restore(json.loads(blob))
+    for c in chunks[kill_at:]:
+        got.extend(resumed.feed(c))
+    got.extend(resumed.flush())
+
+    assert _pairs(got) == _pairs(got_cont)
+    assert {
+        n: _pairs(p) for n, p in resumed.packets().items()
+    } == {n: _pairs(p) for n, p in continuous.packets().items()}
+    assert len(got_cont) > 0

@@ -193,3 +193,50 @@ def test_afsk1200_il2p_noisy(rng):
     )
     got = _decoded_payloads(run_chain(chain, audio))
     assert got == sent
+
+
+def test_upsample_poly_matches_scipy():
+    """_upsample_poly reproduces scipy.signal.resample_poly(x, up, 1)
+    exactly (the reference's afsk.py:164-165 branch)."""
+    import jax.numpy as jnp
+    from scipy.signal import resample_poly
+
+    from pymodem_tpu.modems import _resample_poly_taps, _upsample_poly
+
+    rng = np.random.default_rng(7)
+    for up in (2, 3, 4):
+        x = rng.standard_normal(777)
+        want = resample_poly(x, up, 1)
+        got = np.asarray(
+            _upsample_poly(jnp.asarray(x, jnp.float64),
+                           _resample_poly_taps(up), up)
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_afsk_output_oversample_roundtrip(rng):
+    """output_oversample=2: demod stream (and slicer) run at 2x the input
+    rate (afsk.py:146,164-165); the full chain still decodes."""
+    sent = fx.payloads(rng, count=3, size=40)
+    line = fx.il2p_line_bits(sent, polynomial=0x3, invert=False)
+    audio = mod.afsk_modulate(line, 8000.0, 1200.0, 1200.0, 2200.0)
+    modem = AFSKModemSpec(sample_rate=8000.0, output_oversample=2.0)
+    assert modem.output_sample_rate == 16000.0
+    chain = ChainSpec(
+        name="afsk-ovs2",
+        modem=modem,
+        slicer=BinarySlicerSpec(sample_rate=16000.0, symbol_rate=1200.0,
+                                lock_rate=0.75),
+        stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+        codec=IL2PCodecSpec(ident="afsk-ovs2"),
+    )
+    got = _decoded_payloads(run_chain(chain, audio))
+    assert got == sent
+
+    # the banked runtime refuses (trim arithmetic assumes rate-preserving
+    # demod) and run_plan_banked routes such chains to the executor
+    from pymodem_tpu.runtime.bank import run_banked
+
+    with pytest.raises(ValueError, match="output_oversample"):
+        run_banked([chain], audio)
