@@ -57,7 +57,10 @@ def np_append_crc(data: list[int]) -> None:
     data.append(crc >> 8)
 
 
-_CRC_TABLE_J = jnp.asarray(CRC_TABLE.astype(np.uint32))
+# numpy, NOT jnp: a device array built at import time leaks a tracer when
+# this module is first imported inside a jit trace (e.g. the sharded codec
+# step's deferred import); jnp.asarray inside the traced function is free.
+_CRC_TABLE_NP = CRC_TABLE.astype(np.uint32)
 
 
 def crc16_masked(data: jax.Array, length: jax.Array) -> jax.Array:
@@ -69,10 +72,11 @@ def crc16_masked(data: jax.Array, length: jax.Array) -> jax.Array:
     """
     max_len = data.shape[-1]
     idx = jnp.arange(max_len, dtype=jnp.int32)
+    table = jnp.asarray(_CRC_TABLE_NP)
 
     def step(crc, xs):
         byte, i = xs
-        nxt = (crc >> 8) ^ _CRC_TABLE_J[(crc ^ byte.astype(jnp.uint32)) & 0xFF]
+        nxt = (crc >> 8) ^ table[(crc ^ byte.astype(jnp.uint32)) & 0xFF]
         return jnp.where(i < length, nxt, crc), None
 
     init = jnp.full(length.shape, 0xFFFF, dtype=jnp.uint32)

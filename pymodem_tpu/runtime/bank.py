@@ -577,6 +577,15 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
             )
     with profiling.timed("device_codec_transfer"):
         out = {k: np.asarray(v) for k, v in out.items()}
+    return packets_from_device_out(bank, plan, out, data, addr, count, sync)
+
+
+def packets_from_device_out(bank, plan, out, data, addr, count, sync):
+    """Convert numpy device-codec output buffers into per-chain Packet lists,
+    with host-FSM fallback for candidate-saturated blocks."""
+    from .. import profiling
+    from ..packets import Packet
+
     with profiling.timed("packet_objects"):
         corrected = out.get("corrected")
         # blocks whose candidate compaction saturated (device result may be

@@ -7,18 +7,21 @@ banked program shard over a device mesh:
 * mesh axis ``chain``: the stacked chain-parameter pytree (leading axis C)
   -- the DP-like axis; no communication.
 * mesh axis ``time``: the overlap-save block axis (B) -- the SP/CP-like
-  axis.  Halos are *computed*, not exchanged: each block reads its own
-  ``overlap + trim`` extra input samples, so there is no neighbour
-  dependence.  The audio is replicated (it is the "weights" of this
-  workload: every chain reads all of it); each shard gathers only the block
-  windows it owns, and the one true cross-shard dependence -- the AGC's
-  whole-recording max (agc.py:67) -- is an explicit ``lax.pmax`` over the
-  time axis.
+  axis.  The recording is framed host-side into (B, block_input_len)
+  overlap-save windows and the frame matrix is SHARDED over ``time``: each
+  device holds only its own blocks' windows (~n_audio/n_time + halo), not
+  the whole recording.  Halos are *baked into the frames* (each block
+  carries its own ``overlap + trim`` warm-up samples), so there is no
+  neighbour dependence and no ppermute halo exchange; the one true
+  cross-shard dependence -- the AGC's whole-recording max (agc.py:67) --
+  is an explicit ``lax.pmax`` over the time axis.
 
 Built on ``shard_map`` so the collective is visible and the per-shard
 program is exactly the single-device bank program.  Packet-material outputs
-come back sharded (C, B, cap); the host gathers and runs the codec FSMs on
-candidate positions as in runtime/bank.py.
+come back sharded (C, B, cap); the codec stage either runs the host FSMs on
+candidate positions (codec='host') or decodes fully on device per shard
+into fixed-capacity packet buffers (codec='device', the device-side packet
+gather SURVEY.md section 2.6 maps the reference's Queue onto).
 """
 
 from __future__ import annotations
@@ -109,37 +112,39 @@ def _shard_demod_blocks(kind, chain_params, blocks, method, unroll):
     raise ValueError(kind)
 
 
+def frame_blocks_host(audio: np.ndarray, plan: BlockPlan) -> np.ndarray:
+    """Host-side overlap-save framing: (n,) -> (n_blocks, block_input_len).
+
+    The frame matrix is what gets sharded over the ``time`` axis -- each
+    device receives only its own blocks' windows (~n_audio/n_time plus the
+    per-block halo), never the whole recording."""
+    total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
+    padded = np.zeros(total, dtype=np.asarray(audio).dtype)
+    padded[plan.overlap : plan.overlap + len(audio)] = audio
+    stride = padded.strides[0]
+    return np.lib.stride_tricks.as_strided(
+        padded, (plan.n_blocks, plan.block_input_len),
+        (stride * plan.block_len, stride),
+    ).copy()
+
+
 def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
-                      audio: jax.Array, plan: BlockPlan, capacity: int,
+                      frames: jax.Array, plan: BlockPlan, capacity: int,
                       poly: int, invert: bool, slicer_static_mask: int,
                       slicer_static_bps: int, sync_tolerance: int = 0,
                       method: str = "auto", unroll: int = 8,
                       compact_window: int = 1):
     """jit(shard_map(...)) of the full bank program over the mesh.
 
-    params leaves are sharded on their leading chain axis; the block axis is
-    sharded over ``time`` (each shard frames only its own block windows from
-    the replicated audio).  Returns (data, addr, count, packed_sync) with
-    (C, B, ...) layouts sharded over ('chain', 'time').
+    params leaves are sharded on their leading chain axis; ``frames``
+    (B, block_input_len) is sharded on the block axis over ``time``.
+    Returns (data, addr, count, packed_sync) with (C, B, ...) layouts
+    sharded over ('chain', 'time').
     """
     n_time = mesh.shape["time"]
-    assert plan.n_blocks % n_time == 0, (plan.n_blocks, n_time)
+    assert frames.shape[0] % n_time == 0, (frames.shape, n_time)
 
-    def shard_fn(shard_params, audio_rep):
-        t_idx = jax.lax.axis_index("time")
-        blocks_per_shard = plan.n_blocks // n_time
-        # Frame all blocks' indices but slice this shard's rows: the gather
-        # itself only reads this shard's windows after XLA DCE; audio is
-        # replicated so there is no halo exchange to do.
-        total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
-        padded = jnp.pad(
-            audio_rep, (plan.overlap, total - plan.overlap - plan.n_audio)
-        )
-        start0 = t_idx * blocks_per_shard * plan.block_len
-        starts = start0 + jnp.arange(blocks_per_shard, dtype=jnp.int32)[:, None] * plan.block_len
-        idx = starts + jnp.arange(plan.block_input_len, dtype=jnp.int32)[None, :]
-        blocks = jnp.take(padded, idx, axis=0)
-
+    def shard_fn(shard_params, blocks):
         def one_chain(chain_params):
             chain_params = dict(chain_params)
             chain_params["slicer_static"] = {
@@ -165,27 +170,85 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
     spec_params = jax.tree_util.tree_map(lambda _: P("chain"), params)
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(spec_params, P()),
+        in_specs=(spec_params, P("time")),
         out_specs=(
             P("chain", "time"), P("chain", "time"), P("chain", "time"),
             P("chain", "time"),
         ),
         check_vma=False,
     )
-    return jax.jit(fn)(params, audio)
+    return jax.jit(fn)(params, frames)
+
+
+def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
+                       plan: BlockPlan, max_packets: int = 8,
+                       total_candidates: int | None = None):
+    """Device codec stage per shard: (C, B, cap) sharded byte streams ->
+    fixed-capacity per-shard packet buffers, still sharded over
+    ('chain', 'time').  This is the device-side packet gather of SURVEY.md
+    section 2.6: each shard fills its own buffers; the host (or an
+    all_gather) collects fixed shapes instead of the reference's Queue
+    (pymodem.py:158-163).  Absolute stream addresses are computed in-shard
+    from the time-axis index."""
+    from ..codecs.ax25_device import ax25_decode_blocks
+    from ..codecs.il2p_device import il2p_decode_blocks
+
+    def shard_fn(d, a, c, s):
+        t_idx = jax.lax.axis_index("time")
+        nb_local = d.shape[1]
+        g = t_idx * nb_local + jnp.arange(nb_local, dtype=jnp.int32)
+        offs = g * plan.block_len - plan.overlap
+        addr_abs = a + offs[None, :, None]
+        if codec_key[0] == "il2p":
+            out = il2p_decode_blocks(
+                d.astype(jnp.uint8), s, c, addr_abs,
+                max_packets=max_packets, collect_crc=codec_key[1],
+                disable_rs=codec_key[2], min_distance=codec_key[3],
+                total_candidates=total_candidates,
+            )
+        else:
+            out = ax25_decode_blocks(
+                d.astype(jnp.uint8), c, addr_abs, max_packets=max_packets,
+                min_packet_length=codec_key[1], max_packet_length=codec_key[2],
+            )
+        out["packet"] = out["packet"].astype(jnp.uint8)
+        return out
+
+    from jax import shard_map
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("chain", "time"),) * 4,
+        out_specs=P("chain", "time"),
+        check_vma=False,
+    )
+    return jax.jit(fn)(data, addr, count, sync)
 
 
 def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
                        block_seconds: float = 16.0, overlap_seconds: float = 6.0,
-                       method: str = "auto", unroll: int = 8):
+                       method: str = "auto", unroll: int = 8,
+                       codec: str = "host", max_packets_per_block: int = 8,
+                       total_candidates: int | None = None):
     """Sharded analog of bank.run_banked over an existing mesh.
 
     Bank chain counts must divide the mesh 'chain' axis size evenly (pad
     your sweep banks); the block count is rounded up to a multiple of the
-    'time' axis.
+    'time' axis.  Audio is framed host-side and sharded over ``time`` --
+    per-device input memory is ~n_audio/n_time plus the per-block halo.
+
+    codec: 'host' runs the reference-exact FSMs on device-computed sync
+    candidates; 'device' runs the batched on-device codecs per shard
+    (fixed-capacity packet buffers, no host byte-stream transfer) when
+    every chain in a bank shares codec options.
     """
     from ..config import IL2PCodecSpec
-    from .bank import _dedup_block_boundary, host_decode_block
+    from .bank import (
+        _bank_uniform_codec,
+        _dedup_block_boundary,
+        host_decode_block,
+        packets_from_device_out,
+    )
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -225,13 +288,32 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
             ),
             default=0,
         )
+        from jax.sharding import NamedSharding
+
+        frames = frame_blocks_host(audio, plan)
+        framed = jax.device_put(
+            jnp.asarray(frames, dtype), NamedSharding(mesh, P("time"))
+        )
         data, addr, count, sync = sharded_bank_step(
             mesh, bank.kind, bank.slicer_kind, bank.params,
-            jnp.asarray(audio, dtype), plan, cap,
+            framed, plan, cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
             st["compact_window"],
         )
+        codec_key = _bank_uniform_codec(bank) if codec == "device" else None
+        if codec_key is not None:
+            out = sharded_codec_step(
+                mesh, codec_key, data, addr, count, sync, plan,
+                max_packets=max_packets_per_block,
+                total_candidates=total_candidates,
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for name, pkts in packets_from_device_out(
+                bank, plan, out, data, addr, count, sync
+            ).items():
+                results[name] = pkts
+            continue
         data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
         for ci, chain in enumerate(bank.specs):
             packets = []

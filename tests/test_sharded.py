@@ -117,3 +117,50 @@ def test_qpsk_sharded_matches_single(rng):
         assert a == b
         total += len(b)
     assert total > 0
+
+
+def test_per_shard_input_shape(fixture_audio, sweep_chains):
+    """Audio is NOT replicated: each device's input shard holds only its own
+    blocks' overlap-save windows (~n_audio/n_time plus per-block halo)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pymodem_tpu.runtime import bank as B
+    from pymodem_tpu.runtime.sharded import frame_blocks_host
+
+    rate, audio = fixture_audio
+    audio = audio[: rate * 64]
+    n_time = 4
+    mesh = make_mesh(2, n_time)
+    bank = B.group_chains(sweep_chains, jnp.float64)[0]
+    plan = B.default_block_plan(len(audio), bank.trim, rate)
+    assert plan.n_blocks % n_time == 0  # 64 s / 16 s blocks
+    frames = frame_blocks_host(audio, plan)
+    framed = jax.device_put(
+        jnp.asarray(frames, jnp.float64), NamedSharding(mesh, P("time"))
+    )
+    blocks_per_shard = plan.n_blocks // n_time
+    for shard in framed.addressable_shards:
+        assert shard.data.shape == (blocks_per_shard, plan.block_input_len)
+    # per-device input samples ~ n_audio/n_time + halo share, NOT n_audio
+    per_device = blocks_per_shard * plan.block_input_len
+    halo = blocks_per_shard * (plan.overlap + plan.trim)
+    assert per_device <= len(audio) // n_time + halo + plan.block_len
+    assert per_device < len(audio)  # strictly less than replication
+
+
+def test_sharded_device_codec_matches(fixture_audio, sweep_chains):
+    """codec='device' per-shard packet buffers == single-device device-codec
+    run (the device-side packet gather path)."""
+    rate, audio = fixture_audio
+    audio = audio[: rate * 60]
+    mesh = make_mesh(2, 4)
+    single = run_banked(sweep_chains, audio, codec="device")
+    sharded = run_banked_sharded(sweep_chains, audio, mesh, codec="device")
+    total = 0
+    for name in single:
+        a = [(p.streamaddress, list(p.data)) for p in single[name]]
+        b = [(p.streamaddress, list(p.data)) for p in sharded[name]]
+        assert a == b
+        total += len(b)
+    assert total > 0
