@@ -112,6 +112,22 @@ def _shard_demod_blocks(kind, chain_params, blocks, method, unroll):
     raise ValueError(kind)
 
 
+def gather_to_host(x) -> np.ndarray:
+    """Materialize a (possibly multi-process) sharded array on the host.
+
+    Single process: a plain transfer.  Under ``jax.distributed`` (>= 2
+    hosts), the array's shards live on different processes, so this is the
+    cross-host packet/result gather -- an allgather over DCN -- replacing
+    the reference's multiprocessing.Queue drain (pymodem.py:158-163).
+    Every process ends up with the identical full array, so aggregation
+    and reports are deterministic on all hosts."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def frame_blocks_host(audio: np.ndarray, plan: BlockPlan) -> np.ndarray:
     """Host-side overlap-save framing: (n,) -> (n_blocks, block_input_len).
 
@@ -290,10 +306,12 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
         )
         from jax.sharding import NamedSharding
 
+        # keep the host->device scatter a numpy array: device_put from host
+        # can target a multi-process sharding, a committed single-device
+        # jnp array cannot
         frames = frame_blocks_host(audio, plan)
-        framed = jax.device_put(
-            jnp.asarray(frames, dtype), NamedSharding(mesh, P("time"))
-        )
+        frames = frames.astype(np.dtype(jnp.dtype(dtype).name), copy=False)
+        framed = jax.device_put(frames, NamedSharding(mesh, P("time")))
         data, addr, count, sync = sharded_bank_step(
             mesh, bank.kind, bank.slicer_kind, bank.params,
             framed, plan, cap,
@@ -308,13 +326,19 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
                 max_packets=max_packets_per_block,
                 total_candidates=total_candidates,
             )
-            out = {k: np.asarray(v) for k, v in out.items()}
+            out = {k: gather_to_host(v) for k, v in out.items()}
+            if out.get("dropped") is not None and out["dropped"].any():
+                # saturated blocks fall back to the host FSM, which needs
+                # the byte streams on host
+                data, addr, count, sync = map(
+                    gather_to_host, (data, addr, count, sync)
+                )
             for name, pkts in packets_from_device_out(
                 bank, plan, out, data, addr, count, sync
             ).items():
                 results[name] = pkts
             continue
-        data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
+        data, addr, count, sync = map(gather_to_host, (data, addr, count, sync))
         for ci, chain in enumerate(bank.specs):
             packets = []
             for b in range(plan.n_blocks):
