@@ -19,6 +19,29 @@ def main(argv=None) -> int:
               "<config json> <sound file>")
         return 2
 
+    # Warm-pool routing: a persistent decode server (pymodem_tpu/serve.py)
+    # keeps compiled bank programs loaded across invocations -- on a
+    # tunneled TPU the one-shot CLI otherwise pays ~30-40 s of program
+    # load per bank per process.  The client path never imports jax.
+    server = os.environ.get("PYMODEM_TPU_SERVER", "")
+    if server:
+        if os.path.exists(server):
+            from .serve import client_request
+
+            code, output = client_request(server, argv[1], argv[2])
+            sys.stdout.write(output)
+            return code
+        print(f"decode server socket not found: {server}", file=sys.stderr)
+
+    return run_decode(argv[1], argv[2])
+
+
+def run_decode(config_path: str, wav_path: str) -> int:
+    """The decode body: validate inputs, run the plan, print reports.
+
+    Shared by the one-shot CLI and the persistent server."""
+    argv = [None, config_path, wav_path]
+
     import jax
 
     platform = os.environ.get("PYMODEM_TPU_PLATFORM", "")
