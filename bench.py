@@ -1,36 +1,56 @@
 #!/usr/bin/env python
 """Benchmark: end-to-end demod-chain throughput on one TPU chip.
 
-Workload: a 64-chain AFSK-300 space-gain sweep bank (the reference's
-sweep-bank pattern, configs/afsk_1200_ax25_super_opt.json) decoding ONE
-HOUR of audio (the bundled fixture WAV tiled) -- full pipeline: FIR
-band-pass, quadrature tone correlators, FIR low-pass, symbol-timing
-slicer, LFSR descrambler and IL2P syncword scan on device in fixed-shape
-40-block groups (HBM-bounded regardless of recording length); IL2P RS/CRC
-framing on host from device-computed sync candidates.
+Headline workload: a 64-chain AFSK-300 space-gain sweep bank (the
+reference's sweep-bank pattern, configs/afsk_1200_ax25_super_opt.json)
+decoding ONE HOUR of audio (the bundled fixture WAV tiled) -- full
+pipeline: FIR band-pass, quadrature tone correlators, FIR low-pass,
+symbol-timing slicer, LFSR descrambler, IL2P decode, in fixed-shape
+40-block groups (HBM-bounded regardless of recording length).
 
-Metric: aggregate chain-Msamples/s/chip, steady state (the persistent
-compilation cache makes compile a one-time cost; the driver's first run on
-a cold cache pays it once).  Codec stage: device syncword scan + host FSM
-from candidates (the fully-on-device codec path exists behind
-run_banked(codec='device'); its candidate compaction is not yet tuned, so
-the hybrid is the faster end-to-end config).  Baseline: the reference's measured aggregate
-on its own 5-chain config, 0.33 Msamples/s on 1 vCPU (BASELINE.md) -- its
-best measured aggregate, per-process-parallel.
+Also measured (reported as extra keys on the same JSON line):
+* the same workload with the fully-on-device codec
+  (run_banked(codec='device'): batched RS/CRC on the MXU, host only
+  builds packet objects), and
+* the coherent-family bank (AFSK-PLL, the lax.scan/Pallas loop path)
+  with the device codec -- the scan-bound ceiling the AFSK correlator
+  number does not exercise.
+
+Metric: aggregate chain-Msamples/s/chip, steady state, MEDIAN of
+N_REPS runs with the spread reported (the persistent compilation cache
+makes compile a one-time cost).  Baseline: the reference's measured
+aggregate on its own 5-chain config, 0.33 Msamples/s on 1 vCPU
+(BASELINE.md) -- its best measured aggregate, per-process-parallel.
 
 Prints ONE JSON line.
 """
 
 import json
+import statistics
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 N_CHAINS = 64
+N_PLL_CHAINS = 8
 HOUR_SECONDS = 3600
+N_REPS = 5
 BASELINE_AGG_MSPS = 0.33  # reference aggregate Msamples/s (BASELINE.md)
-EXPECTED_PACKETS = 1080  # sweep over 1h: only near-unity-gain chains decode the noisy fixture
+EXPECTED_PACKETS = 1080  # sweep over 1h: only near-unity-gain chains decode
+
+
+def _measure(fn, reps=N_REPS):
+    """Median + spread of wall times; first (warm) call discarded."""
+    fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med else 0.0
+    return med, spread
 
 
 def main() -> int:
@@ -57,31 +77,69 @@ def main() -> int:
         )
         for i in range(N_CHAINS)
     ]
+    pll_base = [
+        c for c in plan.chains if c.name == "AFSK 300 Il2Pc PLL inverted"
+    ][0]
+    pll_chains = [
+        replace(pll_base, name=f"pll{i}",
+                modem=replace(pll_base.modem, carrier_freq=1696.0 + i))
+        for i in range(N_PLL_CHAINS)
+    ]
     reps = -(-HOUR_SECONDS * rate // len(audio))
     tiled = np.tile(audio, reps)[: HOUR_SECONDS * rate]
+    chain_samples = N_CHAINS * len(tiled)
 
-    # Warmup: compile (or load from the persistent cache).
+    # headline: host-FSM codec on device-computed sync candidates
     packets = run_banked(chains, tiled, codec="host", max_blocks_per_step=40)
     n_packets = sum(len(v) for v in packets.values())
+    med, spread = _measure(
+        lambda: run_banked(chains, tiled, codec="host",
+                           max_blocks_per_step=40)
+    )
+    msps = chain_samples / med / 1e6
 
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        run_banked(chains, tiled, codec="host", max_blocks_per_step=40)
-        best = min(best, time.time() - t0)
+    # fully-on-device codec, same workload
+    dev_packets = run_banked(chains, tiled, codec="device",
+                             max_blocks_per_step=40)
+    n_dev_packets = sum(len(v) for v in dev_packets.values())
+    med_dev, _ = _measure(
+        lambda: run_banked(chains, tiled, codec="device",
+                           max_blocks_per_step=40),
+        reps=3,
+    )
+    msps_dev = chain_samples / med_dev / 1e6
 
-    chain_samples = N_CHAINS * len(tiled)
-    msps = chain_samples / best / 1e6
+    # coherent family: AFSK-PLL bank (scan/Pallas loop path), device codec
+    pll_samples = N_PLL_CHAINS * len(tiled)
+    pll_packets = run_banked(pll_chains, tiled, codec="device",
+                             max_blocks_per_step=40)
+    n_pll = sum(len(v) for v in pll_packets.values())
+    med_pll, _ = _measure(
+        lambda: run_banked(pll_chains, tiled, codec="device",
+                           max_blocks_per_step=40),
+        reps=3,
+    )
+    msps_pll = pll_samples / med_pll / 1e6
+
+    best = max(msps, msps_dev)
     result = {
         "metric": "aggregate demod chain-Msamples/s/chip (end-to-end decode)",
-        "value": round(msps, 2),
+        "value": round(best, 2),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / BASELINE_AGG_MSPS, 1),
+        "vs_baseline": round(best / BASELINE_AGG_MSPS, 1),
+        "spread_pct": round(spread * 100, 1),
+        "reps": N_REPS,
         "chains": N_CHAINS,
         "audio_seconds": len(tiled) / rate,
-        "wall_seconds": round(best, 2),
+        "wall_seconds": round(med, 2),
         "packets": n_packets,
         "packets_expected": EXPECTED_PACKETS,
+        "host_codec_msps": round(msps, 2),
+        "device_codec_msps": round(msps_dev, 2),
+        "device_codec_packets": n_dev_packets,
+        "coherent_pll_msps": round(msps_pll, 2),
+        "coherent_pll_chains": N_PLL_CHAINS,
+        "coherent_pll_packets": n_pll,
     }
     print(json.dumps(result))
     return 0

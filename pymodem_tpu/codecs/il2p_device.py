@@ -133,12 +133,14 @@ def _pack_bytes_at(byte_row, bit_pos, count):
 
 
 @partial(jax.jit, static_argnames=("max_packets", "collect_crc", "disable_rs",
-                                   "min_distance", "total_candidates"))
+                                   "min_distance", "total_candidates",
+                                   "total_rs_blocks"))
 def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
                        counts: jax.Array, addresses: jax.Array,
                        max_packets: int = 8, collect_crc: bool = True,
                        disable_rs: bool = False, min_distance: int = 0,
-                       total_candidates: int | None = None):
+                       total_candidates: int | None = None,
+                       total_rs_blocks: int | None = None):
     """Decode IL2P packets from byte-stream blocks, fully on device.
 
     data: (..., K) uint8 descrambled stream bytes; sync_packed: (..., K)
@@ -147,24 +149,29 @@ def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
 
     Returns dict of (..., max_packets, ...) arrays: ``packet`` bytes,
     ``length``, ``address``, ``ok`` (structurally complete), ``crc_ok``,
-    ``corrected``.
+    ``corrected``, plus per-block ``dropped`` counts (see
+    _il2p_decode_flat).
 
     ``total_candidates``: global candidate-slot capacity across the whole
-    batch (default blocks * max_packets).  Decode work scales with this,
-    not with the block count -- tune it to ~2-4x expected traffic.
+    batch (default blocks * max_packets).  ``total_rs_blocks``: global
+    payload-RS-row budget (default 2 * total_candidates; most packets use
+    one payload block, the 5-slot worst case is rare).  Decode work scales
+    with these budgets, not with blocks x max_packets; undershoot marks the
+    affected stream blocks ``dropped`` so callers can fall back.
     """
     batch_shape = data.shape[:-1]
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch_shape):])
     out = _il2p_decode_flat(
         flat(data), flat(sync_packed), counts.reshape(-1), flat(addresses),
         max_packets, collect_crc, disable_rs, min_distance, total_candidates,
+        total_rs_blocks,
     )
     return {k: v.reshape(batch_shape + v.shape[1:]) for k, v in out.items()}
 
 
 def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
                       collect_crc, disable_rs, min_distance,
-                      total_candidates=None):
+                      total_candidates=None, total_rs_blocks=None):
     """Globally candidate-compacted decode.
 
     Candidates are compacted ACROSS the whole (flattened) block batch before
@@ -232,17 +239,47 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
         )(offs)
     )(rows, pos, block_bit_off)  # (T, MB, 255)
 
+    rs_overflow = jnp.zeros((T,), jnp.bool_)
     if disable_rs:
         blocks_corr = blocks_raw
         blk_res = jnp.zeros((T, MAX_BLOCKS), jnp.int32)
     else:
-        bc, br = rs_ops.rs_decode_jax(
-            blocks_raw.reshape(-1, 255),
-            jnp.maximum(coded_sizes.reshape(-1), 1),
+        # Compact the LIVE (candidate, slot) pairs before the expensive
+        # 16-root RS decode: nearly all packets use one payload block, so
+        # decoding all T*MAX_BLOCKS slots wastes ~5x RS work.  Budget
+        # overflow marks the candidate (host fallback via ``dropped``).
+        Rb = total_rs_blocks if total_rs_blocks else 2 * T
+        Rb = min(max(Rb, 8), T * MAX_BLOCKS)
+        flat_sizes = coded_sizes.reshape(-1)  # (T*MB,)
+        live = flat_sizes > 0
+        lcsum = jnp.cumsum(live.astype(jnp.int32))
+        n_live = lcsum[-1]
+        rs_slots = jnp.arange(1, Rb + 1)
+        rs_src = jnp.clip(
+            jnp.searchsorted(lcsum, rs_slots), 0, T * MAX_BLOCKS - 1
+        )
+        rs_valid = rs_slots <= n_live
+        rows_rs = jnp.take(blocks_raw.reshape(-1, 255), rs_src, axis=0)
+        sizes_rs = jnp.maximum(jnp.take(flat_sizes, rs_src), 1)
+        bc_c, br_c = rs_ops.rs_decode_jax(
+            jnp.where(rs_valid[:, None], rows_rs, 0), sizes_rs,
             num_roots=16, min_distance=min_distance,
         )
-        blocks_corr = bc.reshape(T, MAX_BLOCKS, 255)
-        blk_res = br.reshape(T, MAX_BLOCKS)
+        # scatter back: flat slot -> its compact row (or none on overflow)
+        dest = lcsum - 1  # compact index of each live flat slot
+        in_budget = live & (dest < Rb)
+        safe_dest = jnp.clip(dest, 0, Rb - 1)
+        blocks_corr = jnp.where(
+            in_budget[:, None],
+            jnp.take(bc_c, safe_dest, axis=0),
+            blocks_raw.reshape(-1, 255),
+        ).reshape(T, MAX_BLOCKS, 255)
+        blk_res = jnp.where(
+            in_budget, jnp.take(br_c, safe_dest), 0
+        ).reshape(T, MAX_BLOCKS)
+        rs_overflow = jnp.any(
+            (live & ~in_budget).reshape(T, MAX_BLOCKS), axis=1
+        )
 
     blocks_plain = jax.vmap(
         jax.vmap(_descramble_fixed, in_axes=(0, 0)), in_axes=(0, 0)
@@ -302,7 +339,7 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     span = jnp.where(hdr_fail, 1 + 120,
                      jnp.where(blk_fail_any, span_blk_fail, span_ok))
     structural_ok = (
-        cand_valid & (~hdr_fail) & (~blk_fail_any)
+        cand_valid & (~hdr_fail) & (~blk_fail_any) & (~rs_overflow)
         & (pos + span <= n_bits_of) & (pos < n_bits_of)
     )
     corrected = jnp.maximum(hdr_res, 0) + jnp.sum(
@@ -359,7 +396,11 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
         jnp.zeros((N + 1,), jnp.int32)
         .at[jnp.where(emit & (rank >= max_packets), blk, N)].add(1)[:N]
     )
-    dropped = (per_block_cands - assigned) + over
+    rs_drop = (
+        jnp.zeros((N + 1,), jnp.int32)
+        .at[jnp.where(cand_valid & rs_overflow, blk, N)].add(1)[:N]
+    )
+    dropped = (per_block_cands - assigned) + over + rs_drop
 
     return {
         "packet": scatter(pkt),

@@ -17,8 +17,10 @@ Two execution strategies:
 * ``shift`` (auto for <= 32 taps): t fused shift-multiply-adds on the VPU.
 * ``matmul`` (auto for > 32 taps): banded-Toeplitz matmul on the MXU --
   ~5x the fft path at the 67-187 tap counts this workload uses.
-* ``pallas``: the custom tiled VPU kernel in dsp/pallas_fir.py -- same
-  shift-MAC scheme staged through VMEM explicitly.
+
+(A Pallas tiled-VPU conv existed through round 1 but measured 13x slower
+than the matmul engine and was removed; the Pallas effort lives where the
+XLA path is actually weak -- the recurrent loops, dsp/pallas_loops.py.)
 """
 
 from __future__ import annotations
@@ -101,10 +103,6 @@ def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Arr
         for j in range(t - 1):
             acc = acc + taps[..., j] * x[..., t - 1 - j : t - 1 - j + nout]
         return acc
-    if method == "pallas":
-        from .pallas_fir import pallas_fir_valid
-
-        return pallas_fir_valid(x, taps)
     if method == "matmul":
         return _matmul_conv(x, taps)
     if method == "direct":

@@ -1,0 +1,199 @@
+"""Carrier-recovery loops as Pallas TPU kernels with explicit carry registers.
+
+The `lax.scan` formulation (dsp/loops.py) pays a fixed ~0.4 us of XLA loop
+overhead per time step regardless of lane count (tools/scan_sweep.py); the
+VPU latency-chain bound for the ~15-op PLL step is ~100x smaller.  Here the
+whole loop is ONE kernel: lanes are tiled into (8, 128) VPU registers, the
+loop state (phase, control, IIR registers, PI integral) lives in VMEM
+scratch that persists across sequential time-chunk grid steps, and the
+per-step input/output slices stream through VMEM blocks -- no per-step HBM
+round trip, no while-loop bookkeeping.
+
+Numerics: identical op order and primitives as the f32 scan path
+(dsp/loops.py _nco_step/_iir_step/_pi_step -- afsk_pll.py:153-165,
+psk.py:173-189 for the reference loops).  Mosaic's f32 `sin` is bitwise
+identical to XLA's (verified on hardware), so decisions match the scan
+engine bit for bit on TPU.
+
+Layout: lanes (chains x blocks) pad to a multiple of 8*128 and reshape to
+(R, T, 128); grid = (R/8, T/TC) iterates time fastest, so the scratch carry
+is per-lane-tile sequential, exactly like the scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .loops import TWO_PI, LoopParams
+
+LANE = 128  # lane-tile columns
+DEFAULT_RT = 64  # lane-tile rows: tall tiles pipeline the dependent
+# ~15-op chain across rows, hiding VPU op latency that an (8,128) tile
+# would expose every step
+
+# per-lane scalar parameter rows, in this order
+_PLL_PARAMS = ("phase_scale", "set_frequency", "index_scale", "iir_b0",
+               "iir_a1", "pi_gp", "pi_gain", "pi_i", "pi_limit",
+               "pi_integral0")
+
+
+def _wrap(p, two_pi):
+    p = jnp.where(p >= two_pi, p - two_pi, p)
+    p = jnp.where(p >= two_pi, p - two_pi, p)
+    p = jnp.where(p < 0, p + two_pi, p)
+    p = jnp.where(p < 0, p + two_pi, p)
+    return p
+
+
+def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
+                 kind: str, wavetable_size: int, rt: int, groups: int):
+    from jax.experimental import pallas as pl
+
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        z = jnp.zeros((rt, LANE), jnp.float32)
+        state_ref[0] = z  # phase
+        state_ref[1] = z  # control
+        state_ref[2] = z  # iir_x
+        state_ref[3] = z  # iir_y
+        state_ref[4] = params_ref[9]  # integral0
+
+    # group g's sublane slab: rows [g*gr, (g+1)*gr).  groups > 1 splits the
+    # tile into INDEPENDENT carry chains whose (gr, 128) ops interleave in
+    # the instruction stream -- the dependent ~40-op chain per step is
+    # latency-bound, and independent groups fill each other's stalls.
+    gr = rt // groups
+    sl = [slice(g * gr, (g + 1) * gr) for g in range(groups)]
+
+    def pg(i, g):  # parameter row for group g
+        return params_ref[i, sl[g], :]
+
+    two_pi = jnp.float32(TWO_PI)
+    ang_scale = jnp.float32(TWO_PI / wavetable_size)
+
+    def nco(phase, control, g):
+        p = _wrap(phase + pg(0, g) * (pg(1, g) + control), two_pi)
+        sine_idx = (p * pg(2, g)).astype(jnp.int32)
+        angle = sine_idx.astype(jnp.float32) * ang_scale
+        return p, angle
+
+    if kind == "afsk_pll":
+        # afsk_pll.py:153-165: mixer = x*sine; IIR; PI; output = prop
+        def step_group(t, carry, g):
+            phase, control, iir_x, iir_y, integral = carry
+            p, angle = nco(phase, control, g)
+            sine = jnp.sin(angle)
+            mixer = x_ref[sl[g], t, :] * sine
+            y = (pg(3, g) * mixer + pg(3, g) * iir_x) + pg(4, g) * iir_y
+            prop = pg(5, g) * y
+            integral = jnp.clip(integral + pg(6, g) * (pg(7, g) * y),
+                                -pg(8, g), pg(8, g))
+            control = prop + integral
+            out_ref[sl[g], t, :] = prop
+            return (p, control, mixer, y, integral)
+    elif kind == "bpsk":
+        # psk.py:173-189: i=x*cos, q=x*(-sin), err=i*q; IIR; PI; out = i
+        def step_group(t, carry, g):
+            phase, control, iir_x, iir_y, integral = carry
+            p, angle = nco(phase, control, g)
+            sine = jnp.sin(angle)
+            cosine = jnp.cos(angle)
+            x_t = x_ref[sl[g], t, :]
+            i_mixer = x_t * cosine
+            q_mixer = x_t * (-sine)
+            loop_mixer = i_mixer * q_mixer
+            y = (pg(3, g) * loop_mixer + pg(3, g) * iir_x) + pg(4, g) * iir_y
+            prop = pg(5, g) * y
+            integral = jnp.clip(integral + pg(6, g) * (pg(7, g) * y),
+                                -pg(8, g), pg(8, g))
+            control = prop + integral
+            out_ref[sl[g], t, :] = i_mixer
+            return (p, control, loop_mixer, y, integral)
+    else:
+        raise ValueError(kind)
+
+    def step(t, carries):
+        return tuple(step_group(t, carries[g], g) for g in range(groups))
+
+    carries = tuple(
+        tuple(state_ref[i, sl[g], :] for i in range(5))
+        for g in range(groups)
+    )
+    carries = jax.lax.fori_loop(0, tc, step, carries)
+    for g in range(groups):
+        for i in range(5):
+            state_ref[i, sl[g], :] = carries[g][i]
+
+
+@partial(jax.jit, static_argnames=("kind", "wavetable_size", "tc", "rt",
+                                   "groups"))
+def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
+                      wavetable_size: int = 256, tc: int = 512,
+                      rt: int = DEFAULT_RT, groups: int = 1) -> jax.Array:
+    """Run the PLL/Costas loop over (L, T) lanes in one Pallas kernel.
+
+    x: (L, T) float32 independent lanes; lane_params: (10, L) float32 rows
+    in _PLL_PARAMS order.  Returns (L, T) demod output (prop term for
+    afsk_pll, i_mixer for bpsk), bitwise equal to the vmapped scan path.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, T = x.shape
+    lanes_per_tile = rt * LANE
+    Lp = -(-L // lanes_per_tile) * lanes_per_tile
+    Tp = -(-T // tc) * tc
+    xp = jnp.pad(x, ((0, Lp - L), (0, Tp - T)))
+    pp = jnp.pad(lane_params, ((0, 0), (0, Lp - L)))
+    R = Lp // LANE
+    # (R, T, 128): lane l = r*128 + c lives at [r, :, c]
+    xr = xp.reshape(R, LANE, Tp).transpose(0, 2, 1)
+    pr = pp.reshape(10, R, LANE)
+
+    assert rt % groups == 0 and (rt // groups) % 8 == 0, (rt, groups)
+    out = pl.pallas_call(
+        partial(_loop_kernel, tc=tc, kind=kind,
+                wavetable_size=wavetable_size, rt=rt, groups=groups),
+        grid=(R // rt, Tp // tc),
+        in_specs=[
+            pl.BlockSpec((10, rt, LANE), lambda r, t: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, tc, LANE), lambda r, t: (r, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rt, tc, LANE), lambda r, t: (r, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, Tp, LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((5, rt, LANE), jnp.float32)],
+        # off-TPU (CPU tests) the kernel runs in the Pallas interpreter
+        interpret=jax.default_backend() != "tpu",
+    )(pr, xr)
+
+    return out.transpose(0, 2, 1).reshape(Lp, Tp)[:L, :T]
+
+
+def lane_params_from_loop(loop: LoopParams, n_chains: int,
+                          blocks_per_chain: int) -> jax.Array:
+    """(10, C*B) per-lane parameter rows from stacked (C,)-leaf LoopParams."""
+    rows = []
+    d = loop._asdict()
+    for name in _PLL_PARAMS:
+        leaf = jnp.asarray(d[name], jnp.float32).reshape(n_chains)
+        rows.append(jnp.repeat(leaf, blocks_per_chain))
+    return jnp.stack(rows)
+
+
+def use_pallas_loops(dtype) -> bool:
+    """Pallas engine applies on the TPU backend at f32 (the accelerator
+    dtype); f64 parity runs and CPU tests keep the scan engine."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend == "tpu" and jnp.dtype(dtype) == jnp.float32

@@ -343,6 +343,50 @@ def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
     raise ValueError(kind)
 
 
+def _pallas_loop_wanted(dtype) -> bool:
+    import os
+
+    engine = os.environ.get("PYMODEM_TPU_LOOP_ENGINE", "auto")
+    if engine == "scan":
+        return False
+    from ..dsp.pallas_loops import use_pallas_loops
+
+    if engine == "pallas":
+        return True
+    return use_pallas_loops(dtype)
+
+
+def coherent_bank_demod_pallas(kind: str, params, blocks: jax.Array,
+                               method: str, unroll: int) -> jax.Array:
+    """Bank-level coherent demod with the Pallas loop engine.
+
+    params: C-stacked chain pytree; blocks: (B, Lin).  FIR and AGC stay
+    vmapped XLA ops; the PLL/Costas recurrence runs as ONE Pallas kernel
+    over all C*B lanes (dsp/pallas_loops.py) instead of a vmapped scan.
+    Returns (C, B, Lout) baseband.
+    """
+    from ..dsp.loops import LoopParams
+    from ..dsp.pallas_loops import lane_params_from_loop, loop_lanes_pallas
+
+    m = params["modem"]
+    x = jax.vmap(lambda taps: fir_valid_nd(blocks, taps, method))(
+        m["input_bpf"]
+    )  # (C, B, L1)
+    # per-chain whole-recording max (agc.py:67), as in demod_blocks
+    normals = jnp.max(x, axis=(1, 2))
+    x = jax.vmap(
+        lambda xi, agc_c, nm: _agc_blocks(xi, agc_c, unroll, nm)
+    )(x, m["agc"], normals)
+    C, B, L1 = x.shape
+    loop = LoopParams(**params["loop"])
+    lane_params = lane_params_from_loop(loop, C, B)
+    demod = loop_lanes_pallas(x.reshape(C * B, L1), lane_params, kind,
+                              wavetable_size=loop.wavetable.shape[-1])
+    demod = demod.reshape(C, B, L1)
+    taps = m["output_lpf"] if kind == "afsk_pll" else m["rrc"]
+    return jax.vmap(lambda d, t: fir_valid_nd(d, t, method))(demod, taps)
+
+
 def slice_blocks(slicer_kind: str, params, baseband, capacity: int,
                  unroll: int, window: int = 1):
     """Run the slicer over (B, L) baseband -> dense (B, cap) byte/addr arrays."""
@@ -450,13 +494,12 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
     point, where the host carries the overlap+trim tail between feeds."""
     from ..ops.sync import il2p_sync_candidates
 
-    def one_chain(chain_params):
+    def tail_stages(chain_params, baseband):
         chain_params = dict(chain_params)
         chain_params["slicer_static"] = {
             "state_mask": slicer_static_mask,
             "bits_per_symbol": slicer_static_bps,
         }
-        baseband = demod_blocks(kind, chain_params, blocks, method, unroll)
         data, addr, count = slice_blocks(
             slicer_kind, chain_params, baseband, capacity, unroll,
             compact_window,
@@ -466,18 +509,29 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
         sync = il2p_sync_candidates(data.astype(jnp.uint8), sync_tolerance)
         return data, addr, count, pack_bits(sync)
 
+    if kind in ("afsk_pll", "bpsk") and _pallas_loop_wanted(blocks.dtype):
+        basebands = coherent_bank_demod_pallas(kind, params, blocks, method,
+                                               unroll)
+        return jax.vmap(tail_stages)(params, basebands)
+
+    def one_chain(chain_params):
+        baseband = demod_blocks(kind, dict(chain_params), blocks, method,
+                                unroll)
+        return tail_stages(chain_params, baseband)
+
     return jax.vmap(one_chain)(params)
 
 
 @partial(jax.jit, static_argnames=("codec_kind", "plan", "max_packets",
                                    "collect_crc", "disable_rs", "min_distance",
                                    "min_packet_length", "max_packet_length",
-                                   "total_candidates"))
+                                   "total_candidates", "total_rs_blocks"))
 def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
                     max_packets: int = 8, collect_crc: bool = True,
                     disable_rs: bool = False, min_distance: int = 0,
                     min_packet_length: int = 18, max_packet_length: int = 1023,
-                    total_candidates: int | None = None):
+                    total_candidates: int | None = None,
+                    total_rs_blocks: int | None = None):
     """On-device codec stage over bank_device_step outputs: (C, B, cap) byte
     streams -> fixed-capacity packet buffers (C, B, max_packets, ...).
 
@@ -497,6 +551,7 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
             max_packets=max_packets, collect_crc=collect_crc,
             disable_rs=disable_rs, min_distance=min_distance,
             total_candidates=total_candidates,
+            total_rs_blocks=total_rs_blocks,
         )
     elif codec_kind == "ax25":
         out = ax25_decode_blocks(
@@ -553,12 +608,27 @@ def default_block_plan(n_audio: int, trim: int, sample_rate: float,
 
 
 
+def auto_candidate_budget(sync: np.ndarray) -> int:
+    """Size the device codec's global candidate-slot budget from the actual
+    sync-candidate population (packed bitmap), bucketed to powers of two so
+    distinct budgets (hence compiles) stay rare.  The margin covers
+    seeded-history candidates the pure-bit map cannot see; undershoot is
+    safe -- saturated blocks carry a ``dropped`` flag and fall back to the
+    host FSM."""
+    n_cand = int(np.bitwise_count(np.asarray(sync)).sum())
+    need = max(64, int(n_cand * 1.25) + 16)
+    return 1 << (need - 1).bit_length()
+
+
 def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                           max_packets_per_block, total_candidates):
     """Run the on-device codec over bank outputs and build packet objects."""
     from .. import profiling
     from ..packets import Packet
 
+    if codec_key[0] == "il2p" and total_candidates is None:
+        with profiling.timed("candidate_budget"):
+            total_candidates = auto_candidate_budget(np.asarray(sync))
     with profiling.timed("device_codec_step"):
         if codec_key[0] == "il2p":
             out = bank_codec_step(
@@ -567,6 +637,8 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                 collect_crc=codec_key[1], disable_rs=codec_key[2],
                 min_distance=codec_key[3],
                 total_candidates=total_candidates,
+                total_rs_blocks=2 * total_candidates
+                if total_candidates else None,
             )
         else:
             out = bank_codec_step(

@@ -321,6 +321,12 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
         )
         codec_key = _bank_uniform_codec(bank) if codec == "device" else None
         if codec_key is not None:
+            if codec_key[0] == "il2p" and total_candidates is None:
+                # per-shard budget sized from the GLOBAL candidate count --
+                # conservative (each shard holds a fraction), always safe
+                from .bank import auto_candidate_budget
+
+                total_candidates = auto_candidate_budget(gather_to_host(sync))
             out = sharded_codec_step(
                 mesh, codec_key, data, addr, count, sync, plan,
                 max_packets=max_packets_per_block,

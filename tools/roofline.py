@@ -40,7 +40,10 @@ def main() -> int:
     from pymodem_tpu.dsp.agc import agc_apply
     from pymodem_tpu.dsp.fir import fir_valid_nd
     from pymodem_tpu.dsp.loops import LoopParams, afsk_pll
-    from pymodem_tpu.dsp.pallas_fir import pallas_fir_valid
+    from pymodem_tpu.dsp.pallas_loops import (
+        lane_params_from_loop,
+        loop_lanes_pallas,
+    )
     from pymodem_tpu.ops import rs as rs_ops
     from pymodem_tpu.ops.slicers import binary_slice, compact_bytes
 
@@ -61,10 +64,6 @@ def main() -> int:
     dt = timed(lambda: fir_valid_nd(x, h8, "shift"))
     rows.append(("shift-MAC conv, 8 taps", samples / dt / 1e9, "Gsamples/s",
                  f"{samples * 16 / dt / 1e12:.2f} TFLOP/s"))
-
-    dt = timed(lambda: pallas_fir_valid(x.reshape(C * B, N), h187))
-    rows.append(("Pallas tiled conv, 187 taps", samples / dt / 1e9,
-                 "Gsamples/s", f"{samples * 374 / dt / 1e12:.2f} TFLOP/s"))
 
     sl = lambda row: binary_slice(row, jnp.float32(26.667), jnp.float32(0.75))
     dt = timed(jax.jit(lambda v: jax.vmap(jax.vmap(
@@ -90,6 +89,14 @@ def main() -> int:
     dt = timed(jax.jit(lambda v: jax.vmap(jax.vmap(
         lambda r: afsk_pll(r, lp)))(v)), x)
     rows.append(("PLL scan (NCO+IIR+PI)", samples / dt / 1e9, "Gsamples/s", ""))
+
+    lane_p = lane_params_from_loop(
+        LoopParams(*[jnp.asarray(np.asarray(v)[None]) for v in lp]), 1, C * B
+    )
+    dt = timed(lambda: loop_lanes_pallas(x.reshape(C * B, N), lane_p,
+                                         "afsk_pll"))
+    rows.append(("PLL Pallas kernel (carry in VMEM)", samples / dt / 1e9,
+                 "Gsamples/s", f"{C * B} lanes"))
 
     blocks = jnp.asarray(
         np.random.randint(0, 256, (8192, 255)).astype(np.int32))
