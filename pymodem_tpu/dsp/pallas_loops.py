@@ -31,9 +31,14 @@ import numpy as np
 from .loops import TWO_PI, LoopParams
 
 LANE = 128  # lane-tile columns
-DEFAULT_RT = 64  # lane-tile rows: tall tiles pipeline the dependent
+# Tile shape is bounded by the 16 MB scoped-VMEM limit: the in and out
+# blocks are (rt, tc, 128) f32 each, double-buffered by the Mosaic
+# pipeline, so rt*tc must stay <= ~6800 (rt=64/tc=512 OOMs on v5e).
+# (32, 128) measured fastest among the legal shapes (tools/pallas_loop_sweep).
+DEFAULT_RT = 32  # lane-tile rows: tall tiles pipeline the dependent
 # ~15-op chain across rows, hiding VPU op latency that an (8,128) tile
 # would expose every step
+DEFAULT_TC = 128  # time-chunk columns per grid step
 
 # per-lane scalar parameter rows, in this order
 _PLL_PARAMS = ("phase_scale", "set_frequency", "index_scale", "iir_b0",
@@ -134,7 +139,7 @@ def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
 @partial(jax.jit, static_argnames=("kind", "wavetable_size", "tc", "rt",
                                    "groups"))
 def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
-                      wavetable_size: int = 256, tc: int = 512,
+                      wavetable_size: int = 256, tc: int = DEFAULT_TC,
                       rt: int = DEFAULT_RT, groups: int = 1) -> jax.Array:
     """Run the PLL/Costas loop over (L, T) lanes in one Pallas kernel.
 

@@ -56,18 +56,22 @@ def main():
         )
         print(f"lanes={lanes}: scan {tot/t_scan:6.2f}G ({t_scan*1e3:.1f}ms)",
               flush=True)
-        for rt, tc in ((8, 512), (16, 256), (32, 128), (32, 256), (64, 64),
-                       (64, 96)):
+        for rt, tc, groups in (
+            (8, 512, 1), (16, 256, 1), (16, 256, 2), (32, 128, 1),
+            (32, 128, 4), (32, 256, 2), (64, 64, 1), (64, 64, 4),
+            (64, 64, 8), (64, 96, 2),
+        ):
             try:
                 t_pal = timeit(
                     lambda a: loop_lanes_pallas(a, lane_p, "afsk_pll",
-                                                tc=tc, rt=rt), xd
+                                                tc=tc, rt=rt, groups=groups),
+                    xd,
                 )
-                print(f"  rt={rt:3d} tc={tc:4d}: {tot/t_pal:6.2f}G "
-                      f"({t_pal*1e3:.1f}ms)", flush=True)
+                print(f"  rt={rt:3d} tc={tc:4d} g={groups}: "
+                      f"{tot/t_pal:6.2f}G ({t_pal*1e3:.1f}ms)", flush=True)
             except Exception as exc:
-                print(f"  rt={rt:3d} tc={tc:4d}: FAIL {str(exc)[:120]}",
-                      flush=True)
+                print(f"  rt={rt:3d} tc={tc:4d} g={groups}: FAIL "
+                      f"{str(exc)[:120]}", flush=True)
 
 
 if __name__ == "__main__":
