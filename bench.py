@@ -90,33 +90,28 @@ def main() -> int:
     chain_samples = N_CHAINS * len(tiled)
 
     # headline: host-FSM codec on device-computed sync candidates
-    packets = run_banked(chains, tiled, codec="host", max_blocks_per_step=40)
+    packets = run_banked(chains, tiled, codec="host")
     n_packets = sum(len(v) for v in packets.values())
     med, spread = _measure(
-        lambda: run_banked(chains, tiled, codec="host",
-                           max_blocks_per_step=40)
+        lambda: run_banked(chains, tiled, codec="host")
     )
     msps = chain_samples / med / 1e6
 
     # fully-on-device codec, same workload
-    dev_packets = run_banked(chains, tiled, codec="device",
-                             max_blocks_per_step=40)
+    dev_packets = run_banked(chains, tiled, codec="device")
     n_dev_packets = sum(len(v) for v in dev_packets.values())
     med_dev, _ = _measure(
-        lambda: run_banked(chains, tiled, codec="device",
-                           max_blocks_per_step=40),
+        lambda: run_banked(chains, tiled, codec="device"),
         reps=3,
     )
     msps_dev = chain_samples / med_dev / 1e6
 
     # coherent family: AFSK-PLL bank (scan/Pallas loop path), device codec
     pll_samples = N_PLL_CHAINS * len(tiled)
-    pll_packets = run_banked(pll_chains, tiled, codec="device",
-                             max_blocks_per_step=40)
+    pll_packets = run_banked(pll_chains, tiled, codec="device")
     n_pll = sum(len(v) for v in pll_packets.values())
     med_pll, _ = _measure(
-        lambda: run_banked(pll_chains, tiled, codec="device",
-                           max_blocks_per_step=40),
+        lambda: run_banked(pll_chains, tiled, codec="device"),
         reps=3,
     )
     msps_pll = pll_samples / med_pll / 1e6

@@ -480,18 +480,15 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
     )
 
 
-@partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "poly",
-                                   "invert", "slicer_static_mask",
-                                   "slicer_static_bps", "sync_tolerance",
-                                   "method", "unroll", "compact_window"))
-def bank_device_step_frames(kind: str, slicer_kind: str, params,
-                            blocks: jax.Array, capacity: int, poly: int,
-                            invert: bool, slicer_static_mask: int,
-                            slicer_static_bps: int, sync_tolerance: int = 0,
-                            method: str = "auto", unroll: int = 8,
-                            compact_window: int = 1):
-    """bank_device_step on pre-framed (B, Lin) blocks -- the streaming entry
-    point, where the host carries the overlap+trim tail between feeds."""
+def _bank_frames_compute(kind: str, slicer_kind: str, params,
+                         blocks: jax.Array, capacity: int, poly: int,
+                         invert: bool, slicer_static_mask: int,
+                         slicer_static_bps: int, sync_tolerance: int,
+                         method: str, unroll: int, compact_window: int):
+    """Traced body shared by the jitted bank-step entry points: (B, Lin)
+    frames -> per-chain (C, B, cap) bytes/addresses/counts/sync bitmap.
+    Byte streams leave as uint8 (4x smaller host transfers than the
+    compaction's int32)."""
     from ..ops.sync import il2p_sync_candidates
 
     def tail_stages(chain_params, baseband):
@@ -504,9 +501,10 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
             slicer_kind, chain_params, baseband, capacity, unroll,
             compact_window,
         )
+        data = data.astype(jnp.uint8)
         if poly not in (0, 1) or invert:
-            data = descramble_bytes(data.astype(jnp.uint8), poly, invert)
-        sync = il2p_sync_candidates(data.astype(jnp.uint8), sync_tolerance)
+            data = descramble_bytes(data, poly, invert)
+        sync = il2p_sync_candidates(data, sync_tolerance)
         return data, addr, count, pack_bits(sync)
 
     if kind in ("afsk_pll", "bpsk") and _pallas_loop_wanted(blocks.dtype):
@@ -520,6 +518,78 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
         return tail_stages(chain_params, baseband)
 
     return jax.vmap(one_chain)(params)
+
+
+@partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "poly",
+                                   "invert", "slicer_static_mask",
+                                   "slicer_static_bps", "sync_tolerance",
+                                   "method", "unroll", "compact_window"))
+def bank_device_step_frames(kind: str, slicer_kind: str, params,
+                            blocks: jax.Array, capacity: int, poly: int,
+                            invert: bool, slicer_static_mask: int,
+                            slicer_static_bps: int, sync_tolerance: int = 0,
+                            method: str = "auto", unroll: int = 8,
+                            compact_window: int = 1):
+    """bank_device_step on pre-framed (B, Lin) blocks -- the streaming entry
+    point, where the host carries the overlap+trim tail between feeds."""
+    return _bank_frames_compute(
+        kind, slicer_kind, params, blocks, capacity, poly, invert,
+        slicer_static_mask, slicer_static_bps, sync_tolerance, method,
+        unroll, compact_window,
+    )
+
+
+@partial(jax.jit, static_argnames=("kind", "slicer_kind", "plan", "group",
+                                   "capacity", "poly", "invert",
+                                   "slicer_static_mask", "slicer_static_bps",
+                                   "sync_tolerance", "method", "unroll",
+                                   "compact_window", "dtype"))
+def bank_device_step_grouped(kind: str, slicer_kind: str, params,
+                             audio: jax.Array, plan: BlockPlan, group: int,
+                             capacity: int, poly: int, invert: bool,
+                             slicer_static_mask: int, slicer_static_bps: int,
+                             sync_tolerance: int = 0, method: str = "auto",
+                             unroll: int = 8, compact_window: int = 1,
+                             dtype=jnp.float32):
+    """bank_device_step for long recordings: ONE device program that
+    `lax.map`s the bank pipeline over fixed-size block groups.
+
+    The audio uploads once in its storage dtype (int16 WAV stays int16 on
+    the wire -- frames convert to the compute dtype on device), HBM stays
+    bounded by the group size (not recording length), and the outputs stay
+    on device for the codec stage.  This replaces a host-side loop of
+    per-group dispatches whose framed-f32 uploads cost ~4x the recording
+    and a readback per group (the reference analog is pymodem.py:140-166's
+    per-process full-audio copy)."""
+    g = group
+    n_groups = -(-plan.n_blocks // g)
+    total = n_groups * g * plan.block_len + plan.overlap + plan.trim
+    padded = jnp.pad(audio, (plan.overlap, total - plan.overlap - plan.n_audio))
+    win_len = (g - 1) * plan.block_len + plan.block_input_len
+    idx = (
+        jnp.arange(g, dtype=jnp.int32)[:, None] * plan.block_len
+        + jnp.arange(plan.block_input_len, dtype=jnp.int32)[None, :]
+    )
+
+    def body(start):
+        win = jax.lax.dynamic_slice(padded, (start,), (win_len,))
+        frames = jnp.take(win, idx, axis=0).astype(dtype)
+        return _bank_frames_compute(
+            kind, slicer_kind, params, frames, capacity, poly, invert,
+            slicer_static_mask, slicer_static_bps, sync_tolerance, method,
+            unroll, compact_window,
+        )
+
+    starts = jnp.arange(n_groups, dtype=jnp.int32) * (g * plan.block_len)
+    outs = jax.lax.map(body, starts)  # each (G, C, g, ...)
+
+    def merge(x):
+        x = jnp.moveaxis(x, 0, 1)  # (C, G, g, ...)
+        return x.reshape(x.shape[0], n_groups * g, *x.shape[3:])[
+            :, : plan.n_blocks
+        ]
+
+    return tuple(merge(x) for x in outs)
 
 
 @partial(jax.jit, static_argnames=("codec_kind", "plan", "max_packets",
@@ -608,6 +678,24 @@ def default_block_plan(n_audio: int, trim: int, sample_rate: float,
 
 
 
+def auto_blocks_per_step(n_chains: int, block_input_len: int, n_blocks: int,
+                         dtype, target_lanes: int = 2560,
+                         hbm_budget: float = 3e9) -> int | None:
+    """Pick the block-group size for bank_device_step_grouped.
+
+    The recurrent stages (AGC/PLL/slicer scans) run at full rate only with
+    >= ~2k concurrent lanes (tools/scan_sweep.py); lanes per map step =
+    n_chains * group.  Group size is raised toward ``target_lanes`` lanes
+    and capped so the live per-stage (C, g, Lin) intermediates fit the HBM
+    budget.  None = recording fits in a single ungrouped dispatch."""
+    bytes_per = jnp.dtype(dtype).itemsize
+    live_factor = 2.5  # demod + slicer-emission intermediates per stage
+    per_block = max(n_chains * block_input_len * bytes_per * live_factor, 1.0)
+    cap = max(int(hbm_budget / per_block), 1)
+    g = min(max(-(-target_lanes // max(n_chains, 1)), 1), cap)
+    return None if g >= n_blocks else g
+
+
 def auto_candidate_budget(sync: np.ndarray) -> int:
     """Size the device codec's global candidate-slot budget from the actual
     sync-candidate population (packed bitmap), bucketed to powers of two so
@@ -620,11 +708,84 @@ def auto_candidate_budget(sync: np.ndarray) -> int:
     return 1 << (need - 1).bit_length()
 
 
+def _budget_bucket(n: int, lo: int = 64) -> int:
+    """Power-of-two bucket >= 1.25*n so distinct budgets (compiles) are rare."""
+    need = max(lo, int(n * 1.25) + 16)
+    return 1 << (need - 1).bit_length()
+
+
+@jax.jit
+def _codec_out_sizes(ok, length):
+    """(n_valid_packets, total_valid_bytes) -- one tiny readback that also
+    synchronizes the codec step before the compaction dispatch."""
+    okf = ok.reshape(-1)
+    return jnp.stack([
+        jnp.sum(okf.astype(jnp.int32)),
+        jnp.sum(jnp.where(okf, length.reshape(-1).astype(jnp.int32), 0)),
+    ])
+
+
+@partial(jax.jit, static_argnames=("meta_budget", "bytes_budget"))
+def compact_codec_out(ok, address, length, corrected, packet,
+                      meta_budget: int, bytes_budget: int):
+    """Dense-pack the codec's fixed (C, B, P, Lmax) packet buffers on device.
+
+    Readback of the fixed buffers scales with C*B*P*Lmax (~150 MB for the
+    64-chain bench hour); the payloads themselves are ~100x smaller.  Valid
+    rows rank-compact into ``meta_budget`` metadata slots and their bytes
+    flatten into ONE contiguous uint8 stream of ``bytes_budget`` --
+    both budgets bucketed from the exact on-device counts
+    (_codec_out_sizes), so overflow is impossible."""
+    C, B, Pk = ok.shape
+    okf = ok.reshape(-1)
+    lenf = jnp.where(okf, length.reshape(-1).astype(jnp.int32), 0)
+    rank = jnp.cumsum(okf.astype(jnp.int32)) - 1
+    pos = jnp.where(okf, rank, meta_budget)
+
+    def cmeta(x):
+        return (
+            jnp.zeros((meta_budget,), jnp.int32)
+            .at[pos]
+            .set(x.reshape(-1).astype(jnp.int32), mode="drop")
+        )
+
+    ci = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None, None], ok.shape
+    )
+    bi = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[None, :, None], ok.shape
+    )
+    meta = {
+        "address": cmeta(address),
+        "length": cmeta(length),
+        "chain": cmeta(ci),
+        "block": cmeta(bi),
+        "base": cmeta(jnp.cumsum(lenf) - lenf),
+    }
+    if corrected is not None:
+        meta["corrected"] = cmeta(corrected)
+    row_src = (
+        jnp.zeros((meta_budget,), jnp.int32)
+        .at[pos]
+        .set(jnp.arange(C * B * Pk, dtype=jnp.int32), mode="drop")
+    )
+    rows = packet.reshape(C * B * Pk, -1)[row_src]  # (M, Lmax) uint8
+    j = jnp.arange(rows.shape[-1], dtype=jnp.int32)[None, :]
+    bpos = jnp.where(
+        j < meta["length"][:, None], meta["base"][:, None] + j, bytes_budget
+    )
+    meta["bytes"] = (
+        jnp.zeros((bytes_budget,), jnp.uint8)
+        .at[bpos.reshape(-1)]
+        .set(rows.reshape(-1), mode="drop")
+    )
+    return meta
+
+
 def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                           max_packets_per_block, total_candidates):
     """Run the on-device codec over bank outputs and build packet objects."""
     from .. import profiling
-    from ..packets import Packet
 
     if codec_key[0] == "il2p" and total_candidates is None:
         with profiling.timed("candidate_budget"):
@@ -647,9 +808,99 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                 min_packet_length=codec_key[1],
                 max_packet_length=codec_key[2],
             )
+    with profiling.timed("codec_sizes"):
+        n_ok, total_bytes = map(
+            int, np.asarray(_codec_out_sizes(out["ok"], out["length"]))
+        )
+    with profiling.timed("device_codec_compact"):
+        comp = compact_codec_out(
+            out["ok"], out["address"], out["length"], out.get("corrected"),
+            out["packet"], _budget_bucket(n_ok),
+            _budget_bucket(total_bytes, lo=4096),
+        )
     with profiling.timed("device_codec_transfer"):
-        out = {k: np.asarray(v) for k, v in out.items()}
-    return packets_from_device_out(bank, plan, out, data, addr, count, sync)
+        comp = {k: np.asarray(v) for k, v in comp.items()}
+        dropped = (
+            np.asarray(out["dropped"]) if "dropped" in out else None
+        )
+    return packets_from_compact(
+        bank, plan, comp, n_ok, dropped, data, addr, count, sync
+    )
+
+
+def _fallback_block_packets(per_chain, bank, plan, fallback, data, addr,
+                            count, sync):
+    """Decode candidate-saturated blocks with the exact host FSM (device
+    result may be incomplete there).  Reads the byte streams back only when
+    such blocks exist."""
+    if not fallback:
+        return
+    data, addr, count, sync = (
+        np.asarray(x) for x in (data, addr, count, sync)
+    )
+    for ci, b in sorted(fallback):
+        chain = bank.specs[ci]
+        n = int(count[ci, b])
+        if n == 0:
+            continue
+        offset = b * plan.block_len - plan.overlap
+        pkts = host_decode_block(
+            chain,
+            data[ci, b, :n].astype(np.int64),
+            addr[ci, b, :n].astype(np.int64) + offset,
+            sync[ci, b],
+        )
+        lo, hi = plan.keep_range(b)
+        per_chain.setdefault(int(ci), []).extend(
+            p for p in pkts if lo < p.streamaddress <= hi
+        )
+
+
+def packets_from_compact(bank, plan, comp, n_ok, dropped, data, addr, count,
+                         sync):
+    """Build per-chain Packet lists from compact_codec_out readbacks."""
+    from .. import profiling
+    from ..packets import Packet
+
+    with profiling.timed("packet_objects"):
+        fallback = (
+            set(map(tuple, np.argwhere(dropped > 0)))
+            if dropped is not None
+            else set()
+        )
+        flat = comp["bytes"]
+        corrected = comp.get("corrected")
+        per_chain: dict[int, list] = {}
+        for i in range(n_ok):
+            ci = int(comp["chain"][i])
+            b = int(comp["block"][i])
+            if (ci, b) in fallback:
+                continue
+            address = int(comp["address"][i])
+            lo, hi = plan.keep_range(b)
+            if not (lo < address <= hi):
+                continue
+            length = int(comp["length"][i])
+            base = int(comp["base"][i])
+            per_chain.setdefault(ci, []).append(
+                Packet(
+                    data=flat[base : base + length].tolist(),
+                    streamaddress=address,
+                    source_decoder=bank.specs[ci].codec.ident,
+                    bytes_corrected=int(corrected[i])
+                    if corrected is not None
+                    else 0,
+                )
+            )
+        _fallback_block_packets(
+            per_chain, bank, plan, fallback, data, addr, count, sync
+        )
+        for pkts in per_chain.values():
+            pkts.sort(key=lambda p: p.streamaddress)
+        return {
+            chain.name: _dedup_block_boundary(per_chain.get(ci, []), chain)
+            for ci, chain in enumerate(bank.specs)
+        }
 
 
 def packets_from_device_out(bank, plan, out, data, addr, count, sync):
@@ -687,22 +938,9 @@ def packets_from_device_out(bank, plan, out, data, addr, count, sync):
                     else 0,
                 )
             )
-        for ci, b in sorted(fallback):
-            chain = bank.specs[ci]
-            n = int(np.asarray(count[ci, b]))
-            if n == 0:
-                continue
-            offset = b * plan.block_len - plan.overlap
-            pkts = host_decode_block(
-                chain,
-                np.asarray(data[ci, b, :n]).astype(np.int64),
-                np.asarray(addr[ci, b, :n]).astype(np.int64) + offset,
-                np.asarray(sync[ci, b]),
-            )
-            lo, hi = plan.keep_range(b)
-            per_chain.setdefault(int(ci), []).extend(
-                p for p in pkts if lo < p.streamaddress <= hi
-            )
+        _fallback_block_packets(
+            per_chain, bank, plan, fallback, data, addr, count, sync
+        )
         for pkts in per_chain.values():
             pkts.sort(key=lambda p: p.streamaddress)
         return {
@@ -713,52 +951,40 @@ def packets_from_device_out(bank, plan, out, data, addr, count, sync):
 
 def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
                         method, unroll, max_blocks_per_step):
-    """Run the bank device program, grouped into fixed-shape block
-    chunks when the recording exceeds max_blocks_per_step."""
+    """Run the bank device program.  Recordings longer than
+    max_blocks_per_step blocks run as ONE device program that maps over
+    fixed-shape block groups (bank_device_step_grouped) -- a single native
+    -dtype audio upload, HBM bounded by group size.  Returns DEVICE arrays;
+    callers decide what (if anything) to read back."""
     if max_blocks_per_step is None or plan.n_blocks <= max_blocks_per_step:
-        data, addr, count, sync = bank_device_step(
+        return bank_device_step(
             bank.kind, bank.slicer_kind, bank.params,
             jnp.asarray(audio, dtype), plan, cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method,
             unroll, st["compact_window"],
         )
-    else:
-        # fixed-shape block groups: one compiled program regardless of
-        # recording length, HBM bounded by the group size
-        g = max_blocks_per_step
-        lin = plan.block_input_len
-        padded = np.zeros(plan.n_blocks * plan.block_len + plan.overlap
-                          + plan.trim, dtype=np.asarray(audio).dtype)
-        padded[plan.overlap : plan.overlap + len(audio)] = audio
-        parts = []
-        for b0 in range(0, plan.n_blocks, g):
-            frames = np.zeros((g, lin), dtype=padded.dtype)
-            for i in range(min(g, plan.n_blocks - b0)):
-                s = (b0 + i) * plan.block_len
-                frames[i] = padded[s : s + lin]
-            parts.append(
-                bank_device_step_frames(
-                    bank.kind, bank.slicer_kind, bank.params,
-                    jnp.asarray(frames, dtype), cap,
-                    bank.stream_poly, bank.stream_invert,
-                    st["state_mask"], st["bits_per_symbol"], sync_tol,
-                    method, unroll, st["compact_window"],
-                )
-            )
-        data, addr, count, sync = (
-            np.concatenate([np.asarray(p[k])[:, : min(plan.n_blocks - i * g, g)]
-                            for i, p in enumerate(parts)], axis=1)
-            for k in range(4)
-        )
-    return data, addr, count, sync
+    # keep the wire dtype: int16 WAV uploads as int16; frames convert on
+    # device (int16 -> f32/f64 is exact, so decisions are unchanged)
+    audio = np.asarray(audio)
+    wire = audio if audio.dtype in (np.int16, np.float32) else (
+        audio.astype(np.float64) if dtype == jnp.float64
+        else audio.astype(np.float32)
+    )
+    return bank_device_step_grouped(
+        bank.kind, bank.slicer_kind, bank.params,
+        jnp.asarray(wire), plan, max_blocks_per_step, cap,
+        bank.stream_poly, bank.stream_invert,
+        st["state_mask"], st["bits_per_symbol"], sync_tol, method,
+        unroll, st["compact_window"], dtype,
+    )
 
 
 def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                block_seconds: float = 16.0, overlap_seconds: float = 6.0,
                method: str = "auto", unroll: int = 8, codec: str = "host",
                max_packets_per_block: int = 8,
-               max_blocks_per_step: int | None = None,
+               max_blocks_per_step: int | None | str = "auto",
                total_candidates: int | None = None):
     """Run a full chain list via banked block-parallel device programs.
 
@@ -772,8 +998,10 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     conversion and reporting.
 
     max_blocks_per_step: cap on blocks per device dispatch.  Long
-    recordings run as a sequence of fixed-shape block groups (one compiled
-    program total), bounding HBM by group size instead of recording length.
+    recordings run as ONE device program mapping over fixed-shape block
+    groups, bounding HBM by group size instead of recording length.  The
+    default 'auto' sizes groups for VPU lane occupancy vs HBM
+    (auto_blocks_per_step); None forces a single ungrouped dispatch.
     """
     from ..codecs.host import (
         ax25_decode_host,
@@ -812,10 +1040,15 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
             ),
             default=0,
         )
+        group = max_blocks_per_step
+        if group == "auto":
+            group = auto_blocks_per_step(
+                len(bank.specs), plan.block_input_len, plan.n_blocks, dtype
+            )
         with profiling.timed("device_step"):
             data, addr, count, sync = _dispatch_bank_step(
                 bank, plan, st, cap, sync_tol, audio, dtype, method,
-                unroll, max_blocks_per_step,
+                unroll, group,
             )
         codec_key = _bank_uniform_codec(bank) if codec == "device" else None
         if codec_key is not None:

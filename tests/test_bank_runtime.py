@@ -112,3 +112,25 @@ def test_multi_file_batch_matches_per_file(fixture_audio):
             b = [(p.streamaddress, list(p.data)) for p in batched[fi][name]]
             assert a == b, (fi, name)
         assert any(batched[fi].values())
+
+
+@pytest.mark.parametrize("codec", ["host", "device"])
+def test_grouped_dispatch_matches_single(fixture_audio, codec):
+    """max_blocks_per_step (bank_device_step_grouped: one lax.map program,
+    native-dtype upload) == one-shot dispatch, both codecs, int16 audio."""
+    from pymodem_tpu.runtime.bank import run_banked
+
+    path = os.path.join(CONFIG_DIR, "afsk_300.json")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    chains = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc Correlator"]
+    audio = audio[: rate * 80]
+    one = run_banked(chains, audio, codec=codec)
+    grouped = run_banked(chains, audio, codec=codec, max_blocks_per_step=2)
+    for name in one:
+        a = [(p.streamaddress, list(p.data)) for p in one[name]]
+        b = [(p.streamaddress, list(p.data)) for p in grouped[name]]
+        assert a == b, name
+    assert any(one.values())

@@ -28,7 +28,11 @@ def main():
         c for c in plan.chains if c.name == "AFSK 300 Il2Pc PLL inverted"
     ][0]
     n_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    blocks_per_step = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    blocks_per_step = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    if blocks_per_step not in ("auto", "none"):
+        blocks_per_step = int(blocks_per_step)
+    elif blocks_per_step == "none":
+        blocks_per_step = None
     codec = sys.argv[3] if len(sys.argv) > 3 else "device"
     chains = [
         replace(base, name=f"pll{i}",
