@@ -182,6 +182,9 @@ def _ax25_flat(data, counts, addresses, max_packets, max_packet_len,
             "address": jnp.where(ok, address, 0),
             "ok": ok,
             "crc_ok": ok & (calc == carried),
+            # closing flags beyond the max_packets budget: the device result
+            # is incomplete for this block; callers fall back to the host FSM
+            "dropped": jnp.maximum(n_close - max_packets, 0),
         }
 
     return jax.vmap(one_block)(data, counts, addresses)

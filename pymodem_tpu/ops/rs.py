@@ -179,9 +179,72 @@ def _xor_reduce(x: jax.Array, axis: int) -> jax.Array:
     return jax.lax.reduce(x, np.int32(0), jax.lax.bitwise_xor, (axis,))
 
 
-def _jmul(antilog, log, a, b):
-    prod = antilog[(log[a] + log[b]) % 255]
-    return jnp.where((a == 0) | (b == 0), 0, prod)
+# Computed GF(256)/0x11D arithmetic -- no table gathers.  On the TPU
+# backend a 256-entry table gather over a large batch lowers far slower
+# than a short chain of shift/xor/select VPU ops, and the Berlekamp/Forney
+# stages issue ~100 such gathers per decode batch.  On CPU the opposite
+# holds (gathers are cheap, the unrolled ladder multiplies compile time by
+# ~7x), so _rs_decode_batch picks per backend at trace time.
+def _jmul_c(a, b):
+    """Carry-less multiply (8-step bit ladder) + poly reduction by 0x11D."""
+    a = jnp.asarray(a, jnp.int32)
+    b = jnp.asarray(b, jnp.int32)
+    res = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), jnp.int32)
+    for i in range(8):
+        res = res ^ jnp.where((b >> i) & 1 != 0, a << i, 0)
+    for k in range(14, 7, -1):
+        res = res ^ jnp.where((res >> k) & 1 != 0, 0x11D << (k - 8), 0)
+    return res
+
+
+_ALPHA_POW2 = GF256.antilog[(1 << np.arange(8)) % 255]  # alpha^(2^k)
+
+
+def _jpow_alpha(x):
+    """alpha^x for x in [0, 254], computed by square-and-multiply over the
+    bits of x (alpha^(2^k) are host constants)."""
+    x = x.astype(jnp.int32)
+    res = jnp.ones_like(x)
+    for k in range(8):
+        res = jnp.where(
+            (x >> k) & 1 != 0, _jmul_c(res, int(_ALPHA_POW2[k])), res
+        )
+    return res
+
+
+def _jinv(a):
+    """a^254 == a^-1 (0 -> 0), by square-and-multiply: 254 = sum 2^1..2^7."""
+    sq = a.astype(jnp.int32)
+    res = jnp.ones_like(sq)
+    for k in range(1, 8):
+        sq = _jmul_c(sq, sq)
+        res = _jmul_c(res, sq)
+    return res
+
+
+def _gf_ops(gf: GFTables):
+    """(mul, inv, pow_alpha) chosen per backend at trace time.
+
+    TPU: computed shift/xor ladders (no gathers).  CPU (the test platform)
+    or a non-0x11D field: log/antilog table gathers.
+    """
+    if jax.default_backend() != "cpu" and gf is GF256:
+        return _jmul_c, _jinv, _jpow_alpha
+    antilog = jnp.asarray(gf.antilog)
+    log = jnp.asarray(gf.log)
+    inverse = jnp.asarray(gf.inverse)
+
+    def mul(a, b):
+        prod = antilog[(log[a] + log[b]) % (gf.order - 1)]
+        return jnp.where((a == 0) | (b == 0), 0, prod)
+
+    def inv(a):
+        return inverse[a]
+
+    def pow_alpha(x):
+        return antilog[x]
+
+    return mul, inv, pow_alpha
 
 
 @partial(jax.jit, static_argnames=("num_roots", "first_root", "min_distance",
@@ -272,15 +335,13 @@ def _gf2_matmul(bits: jax.Array, mat: np.ndarray) -> jax.Array:
 def _rs_decode_batch(data: jax.Array, block_size: jax.Array, num_roots: int,
                      first_root: int = 0, min_distance: int = 0,
                      gf: GFTables = GF256):
-    antilog = jnp.asarray(gf.antilog)
-    log = jnp.asarray(gf.log)
-    inverse = jnp.asarray(gf.inverse)
     order = gf.order
     B, L = data.shape
     t2 = num_roots // 2
     bs = block_size[:, None]
     lm = order - 1
     m_synd, m_chien = _bitlinear_mats(num_roots, first_root, gf)
+    gmul, ginv, gpow = _gf_ops(gf)
     shift = lm - block_size  # (B,) right-align offset
     bit_w = jnp.arange(8, dtype=jnp.int32)
 
@@ -308,16 +369,16 @@ def _rs_decode_batch(data: jax.Array, block_size: jax.Array, num_roots: int,
         y = step - 1
         # e = synd[y] ^ XOR_{1<=i<=tracker} locator[i]*synd[y-i]
         gather = jnp.clip(y - idx_r, 0, num_roots - 1)
-        terms = _jmul(antilog, log, locator, jnp.take_along_axis(synd, gather, axis=1))
+        terms = gmul(locator, jnp.take_along_axis(synd, gather, axis=1))
         terms = jnp.where((idx_r >= 1) & (idx_r <= tracker[:, None]), terms, 0)
         e = synd[:, y] ^ _xor_reduce(terms, axis=1)
         active = (e != 0)[:, None]
-        nl_upd = locator ^ _jmul(antilog, log, e[:, None], corrector[:, :num_roots])
+        nl_upd = locator ^ gmul(e[:, None], corrector[:, :num_roots])
         in_range = idx_r <= tracker[:, None]
         next_locator = jnp.where(active & in_range, nl_upd, next_locator)
-        e_inv = inverse[e]
+        e_inv = ginv(e)
         low = idx_r <= t2
-        corr_upd = _jmul(antilog, log, locator, e_inv[:, None])
+        corr_upd = gmul(locator, e_inv[:, None])
         corrector = corrector.at[:, :num_roots].set(
             jnp.where(active & low, corr_upd, corrector[:, :num_roots])
         )
@@ -345,7 +406,7 @@ def _rs_decode_batch(data: jax.Array, block_size: jax.Array, num_roots: int,
     for i0 in range(t2):
         acc = synd[:, first_root + i0]
         for jj in range(1, i0 + 1):
-            acc = acc ^ _jmul(antilog, log, synd[:, first_root + i0 - jj], locator[:, jj])
+            acc = acc ^ gmul(synd[:, first_root + i0 - jj], locator[:, jj])
         omega.append(acc)
     omega = jnp.stack(omega, axis=1)  # (B, t2)
 
@@ -360,20 +421,20 @@ def _rs_decode_batch(data: jax.Array, block_size: jax.Array, num_roots: int,
     k_idx = jnp.arange(t2, dtype=jnp.int32)[None, :]
     valid_err = k_idx < error_count[:, None]  # (B, t2)
 
-    mags = jnp.zeros((B, t2), jnp.int32)
     z_acc = jnp.broadcast_to(omega[:, 0:1], (B, t2))
     for jj in range(1, t2):
-        term = _jmul(antilog, log, omega[:, jj : jj + 1], antilog[fold(e_pos, jj)])
+        term = gmul(omega[:, jj : jj + 1], gpow(fold(e_pos, jj)))
         z_acc = jnp.where(jj < error_count[:, None], z_acc ^ term, z_acc)
-    z_acc = _jmul(antilog, log, z_acc, antilog[e_pos])
+    z_acc = gmul(z_acc, gpow(e_pos))
     y_acc = jnp.broadcast_to(locator[:, 1:2], (B, t2))
     for jj in range(3, t2 + 1, 2):
-        term = _jmul(antilog, log, locator[:, jj : jj + 1], antilog[fold(e_pos, jj - 1)])
+        term = gmul(locator[:, jj : jj + 1], gpow(fold(e_pos, jj - 1)))
         y_acc = y_acc ^ term
-    ly = log[y_acc]
-    yidx = jnp.where(order - ly - 1 == order - 1, 0, order - ly - 1)
-    y_val = antilog[yidx]
-    mags = _jmul(antilog, log, y_val, z_acc)
+    # y_val = antilog[order - log[y] - 1] with the reference's log[0] == 0
+    # and yidx == 255 -> 0 quirks: both y in {0, 1} give antilog[0] == 1,
+    # otherwise the true inverse y^-1 == y^254.
+    y_val = jnp.where(y_acc == 0, 1, ginv(y_acc))
+    mags = gmul(y_val, z_acc)
 
     do_fix = valid_err & apply_fix[:, None]
     scatter_pos = jnp.where(do_fix, loc_sorted, L)  # L drops out of range

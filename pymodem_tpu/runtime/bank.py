@@ -100,20 +100,45 @@ class BlockPlan:
         return lo, min(lo + self.block_len, self.n_demod)
 
 
+def overlapped_frames(window: jax.Array, n_blocks: int, block_len: int,
+                      ext: int) -> jax.Array:
+    """(n_blocks*block_len + ext,) -> (n_blocks, block_len + ext) overlapped
+    frames, stride block_len.
+
+    Built from reshapes + a shifted second reshape -- NO gather: an index-
+    matrix jnp.take of the same framing measured ~0.6 GB/s on the TPU
+    backend (half the whole demod pipeline); this form is a plain copy.
+    Requires ext <= block_len (every bundled config: overlap+trim <
+    block_len); falls back to the gather otherwise.
+    """
+    if ext == 0:
+        return window[: n_blocks * block_len].reshape(n_blocks, block_len)
+    if ext > block_len:  # general (unused by default plans) -- gather
+        starts = (
+            jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * block_len
+        )
+        idx = starts + jnp.arange(block_len + ext, dtype=jnp.int32)[None, :]
+        return jnp.take(window, idx, axis=0)
+    base = window[: n_blocks * block_len].reshape(n_blocks, block_len)
+    shifted = window[block_len : n_blocks * block_len + ext]
+    shifted = jnp.pad(shifted, (0, block_len - ext))
+    halo = shifted.reshape(n_blocks, block_len)[:, :ext]
+    return jnp.concatenate([base, halo], axis=1)
+
+
 def frame_blocks(audio: jax.Array, plan: BlockPlan) -> jax.Array:
     """(n,) -> (n_blocks, block_input_len) overlapped block matrix.
 
     Front-padded with ``overlap`` zeros (block 0's halo) and tail-padded to
     fill the last block; tail packets are clipped by keep_range.  Traceable:
-    called inside the bank jit so the gather fuses on device.
+    called inside the bank jit.
     """
     total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
     padded = jnp.pad(audio, (plan.overlap, total - plan.overlap - plan.n_audio))
-    # index matrix built from iota on device -- an np constant here would be
-    # baked into the executable (tens of MB) and dominate program-load time
-    starts = jnp.arange(plan.n_blocks, dtype=jnp.int32)[:, None] * plan.block_len
-    idx = starts + jnp.arange(plan.block_input_len, dtype=jnp.int32)[None, :]
-    return jnp.take(padded, idx, axis=0)
+    return overlapped_frames(
+        padded, plan.n_blocks, plan.block_len,
+        plan.block_input_len - plan.block_len,
+    )
 
 
 def pack_bits(bits: jax.Array) -> jax.Array:
@@ -566,14 +591,12 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
     total = n_groups * g * plan.block_len + plan.overlap + plan.trim
     padded = jnp.pad(audio, (plan.overlap, total - plan.overlap - plan.n_audio))
     win_len = (g - 1) * plan.block_len + plan.block_input_len
-    idx = (
-        jnp.arange(g, dtype=jnp.int32)[:, None] * plan.block_len
-        + jnp.arange(plan.block_input_len, dtype=jnp.int32)[None, :]
-    )
 
     def body(start):
         win = jax.lax.dynamic_slice(padded, (start,), (win_len,))
-        frames = jnp.take(win, idx, axis=0).astype(dtype)
+        frames = overlapped_frames(
+            win, g, plan.block_len, plan.block_input_len - plan.block_len
+        ).astype(dtype)
         return _bank_frames_compute(
             kind, slicer_kind, params, frames, capacity, poly, invert,
             slicer_static_mask, slicer_static_bps, sync_tolerance, method,

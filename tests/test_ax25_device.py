@@ -65,3 +65,30 @@ def test_stuffing_and_aborts(rng):
     stream = np.array(bits_to_bytes_msb(bits))
     dev, host = _run_both(stream)
     assert dev == host
+
+
+def test_overflow_sets_dropped(rng):
+    """More closing flags than max_packets -> per-block dropped signal
+    (device result incomplete; runtimes fall back to the host FSM)."""
+    bits = []
+    for _ in range(6):
+        payload = bytes(b"0123456789ABCDEFGH")
+        bits += hdlc_encode(ax25_ui_frame("KI5ABC", "N0CALL", payload),
+                            flag_count=2)
+    bits += [0] * ((8 - len(bits) % 8) % 8)
+    stream = np.array(bits_to_bytes_msb(bits))
+    K = -(-len(stream) // 128) * 128
+    data = np.zeros(K, np.uint8)
+    data[: len(stream)] = stream
+    addr = np.arange(1, K + 1, dtype=np.int32)
+    dev = ax25_decode_blocks(
+        jnp.asarray(data)[None], jnp.asarray([len(stream)], jnp.int32),
+        jnp.asarray(addr)[None], max_packets=4,
+    )
+    assert int(np.asarray(dev["dropped"])[0]) > 0
+    full = ax25_decode_blocks(
+        jnp.asarray(data)[None], jnp.asarray([len(stream)], jnp.int32),
+        jnp.asarray(addr)[None], max_packets=8,
+    )
+    assert int(np.asarray(full["dropped"])[0]) == 0
+    assert int(np.asarray(full["ok"]).sum()) == 6

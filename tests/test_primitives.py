@@ -228,6 +228,31 @@ def test_rs_decode_jax_matches_np(rng, nroots, min_distance):
         np.testing.assert_array_equal(corrected[i, : len(b)], expect_buf)
 
 
+def test_rs_computed_gf_matches_tables():
+    """The TPU-path computed GF(256) arithmetic (bit-ladder multiply,
+    square-and-multiply inverse / alpha-power) equals the log/antilog
+    tables on every operand pair; the tables themselves are asserted
+    against the reference by test_gf_tables_match_reference."""
+    import jax.numpy as jnp
+
+    gf = rs_ops.GF256
+    a = np.arange(256, dtype=np.int32)
+    aa, bb = np.meshgrid(a, a)
+    got = np.asarray(rs_ops._jmul_c(jnp.asarray(aa), jnp.asarray(bb)))
+    want = np.where(
+        (aa == 0) | (bb == 0), 0,
+        gf.antilog[(gf.log[aa] + gf.log[bb]) % 255],
+    )
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        np.asarray(rs_ops._jinv(jnp.asarray(a))), gf.inverse
+    )
+    x = np.arange(255, dtype=np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(rs_ops._jpow_alpha(jnp.asarray(x))), gf.antilog[:255]
+    )
+
+
 def test_rs_encode_roundtrip(rng):
     rs = rs_ops.RS_BLOCK
     data = rng.integers(0, 256, size=100).astype(np.int32)
