@@ -44,6 +44,11 @@ DEFAULT_TC = 128  # time-chunk columns per grid step
 _PLL_PARAMS = ("phase_scale", "set_frequency", "index_scale", "iir_b0",
                "iir_a1", "pi_gp", "pi_gain", "pi_i", "pi_limit",
                "pi_integral0")
+# optional AGC fusion rows appended after _PLL_PARAMS: the AGC envelope
+# follower (agc.py:26-80) runs inside the loop kernel, removing the
+# separate vmapped-scan stage and its HBM round trip of the FIR output.
+_AGC_PARAMS = ("attack_step", "decay_step", "sustain_time",
+               "sustain_increment", "target")
 
 
 def _wrap(p, two_pi):
@@ -55,10 +60,12 @@ def _wrap(p, two_pi):
 
 
 def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
-                 kind: str, wavetable_size: int, rt: int, groups: int):
+                 kind: str, wavetable_size: int, rt: int, groups: int,
+                 fuse_agc: bool):
     from jax.experimental import pallas as pl
 
     t_idx = pl.program_id(1)
+    n_state = 7 if fuse_agc else 5
 
     @pl.when(t_idx == 0)
     def _():
@@ -68,6 +75,9 @@ def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
         state_ref[2] = z  # iir_x
         state_ref[3] = z  # iir_y
         state_ref[4] = params_ref[9]  # integral0
+        if fuse_agc:
+            state_ref[5] = z  # agc envelope
+            state_ref[6] = z  # agc sustain
 
     # group g's sublane slab: rows [g*gr, (g+1)*gr).  groups > 1 splits the
     # tile into INDEPENDENT carry chains whose (gr, 128) ops interleave in
@@ -88,28 +98,48 @@ def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
         angle = sine_idx.astype(jnp.float32) * ang_scale
         return p, angle
 
+    def read_x(t, carry, g):
+        """Input sample, optionally through the fused AGC follower
+        (op-for-op agc_apply, agc.py:26-80)."""
+        x_t = x_ref[sl[g], t, :]
+        if not fuse_agc:
+            return x_t, ()
+        env, sustain = carry[5], carry[6]
+        cv = jnp.abs(x_t)
+        rising = cv > env
+        env = jnp.where(rising, jnp.minimum(env + pg(10, g), cv), env)
+        sustain = jnp.where(rising, jnp.zeros_like(sustain), sustain)
+        decaying = sustain >= pg(12, g)
+        env = jnp.where(decaying,
+                        jnp.maximum(env - pg(11, g), jnp.zeros_like(env)),
+                        env)
+        sustain = sustain + pg(13, g)
+        x_t = jnp.where(env != 0, pg(14, g) * x_t / env, x_t)
+        return x_t, (env, sustain)
+
     if kind == "afsk_pll":
         # afsk_pll.py:153-165: mixer = x*sine; IIR; PI; output = prop
         def step_group(t, carry, g):
-            phase, control, iir_x, iir_y, integral = carry
+            phase, control, iir_x, iir_y, integral = carry[:5]
+            x_t, agc_carry = read_x(t, carry, g)
             p, angle = nco(phase, control, g)
             sine = jnp.sin(angle)
-            mixer = x_ref[sl[g], t, :] * sine
+            mixer = x_t * sine
             y = (pg(3, g) * mixer + pg(3, g) * iir_x) + pg(4, g) * iir_y
             prop = pg(5, g) * y
             integral = jnp.clip(integral + pg(6, g) * (pg(7, g) * y),
                                 -pg(8, g), pg(8, g))
             control = prop + integral
             out_ref[sl[g], t, :] = prop
-            return (p, control, mixer, y, integral)
+            return (p, control, mixer, y, integral) + agc_carry
     elif kind == "bpsk":
         # psk.py:173-189: i=x*cos, q=x*(-sin), err=i*q; IIR; PI; out = i
         def step_group(t, carry, g):
-            phase, control, iir_x, iir_y, integral = carry
+            phase, control, iir_x, iir_y, integral = carry[:5]
+            x_t, agc_carry = read_x(t, carry, g)
             p, angle = nco(phase, control, g)
             sine = jnp.sin(angle)
             cosine = jnp.cos(angle)
-            x_t = x_ref[sl[g], t, :]
             i_mixer = x_t * cosine
             q_mixer = x_t * (-sine)
             loop_mixer = i_mixer * q_mixer
@@ -119,7 +149,7 @@ def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
                                 -pg(8, g), pg(8, g))
             control = prop + integral
             out_ref[sl[g], t, :] = i_mixer
-            return (p, control, loop_mixer, y, integral)
+            return (p, control, loop_mixer, y, integral) + agc_carry
     else:
         raise ValueError(kind)
 
@@ -127,12 +157,12 @@ def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
         return tuple(step_group(t, carries[g], g) for g in range(groups))
 
     carries = tuple(
-        tuple(state_ref[i, sl[g], :] for i in range(5))
+        tuple(state_ref[i, sl[g], :] for i in range(n_state))
         for g in range(groups)
     )
     carries = jax.lax.fori_loop(0, tc, step, carries)
     for g in range(groups):
-        for i in range(5):
+        for i in range(n_state):
             state_ref[i, sl[g], :] = carries[g][i]
 
 
@@ -151,6 +181,10 @@ def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
     from jax.experimental.pallas import tpu as pltpu
 
     L, T = x.shape
+    n_rows = lane_params.shape[0]
+    fuse_agc = n_rows == len(_PLL_PARAMS) + len(_AGC_PARAMS)
+    assert fuse_agc or n_rows == len(_PLL_PARAMS), n_rows
+    n_state = 7 if fuse_agc else 5
     lanes_per_tile = rt * LANE
     Lp = -(-L // lanes_per_tile) * lanes_per_tile
     Tp = -(-T // tc) * tc
@@ -159,15 +193,16 @@ def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
     R = Lp // LANE
     # (R, T, 128): lane l = r*128 + c lives at [r, :, c]
     xr = xp.reshape(R, LANE, Tp).transpose(0, 2, 1)
-    pr = pp.reshape(10, R, LANE)
+    pr = pp.reshape(n_rows, R, LANE)
 
     assert rt % groups == 0 and (rt // groups) % 8 == 0, (rt, groups)
     out = pl.pallas_call(
         partial(_loop_kernel, tc=tc, kind=kind,
-                wavetable_size=wavetable_size, rt=rt, groups=groups),
+                wavetable_size=wavetable_size, rt=rt, groups=groups,
+                fuse_agc=fuse_agc),
         grid=(R // rt, Tp // tc),
         in_specs=[
-            pl.BlockSpec((10, rt, LANE), lambda r, t: (0, r, 0),
+            pl.BlockSpec((n_rows, rt, LANE), lambda r, t: (0, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, tc, LANE), lambda r, t: (r, t, 0),
                          memory_space=pltpu.VMEM),
@@ -175,7 +210,7 @@ def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
         out_specs=pl.BlockSpec((rt, tc, LANE), lambda r, t: (r, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, Tp, LANE), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((5, rt, LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_state, rt, LANE), jnp.float32)],
         # off-TPU (CPU tests) the kernel runs in the Pallas interpreter
         interpret=jax.default_backend() != "tpu",
     )(pr, xr)
@@ -192,6 +227,22 @@ def lane_params_from_loop(loop: LoopParams, n_chains: int,
         leaf = jnp.asarray(d[name], jnp.float32).reshape(n_chains)
         rows.append(jnp.repeat(leaf, blocks_per_chain))
     return jnp.stack(rows)
+
+
+def agc_lane_params(agc_d, normals: jax.Array, n_chains: int,
+                    blocks_per_chain: int) -> jax.Array:
+    """(5, C*B) AGC fusion rows (_AGC_PARAMS order).  ``normals`` is the
+    per-chain whole-recording signed max (agc.py:67) scaling the attack and
+    decay steps -- a runtime value, so these rows are built in-graph."""
+    normals = jnp.asarray(normals, jnp.float32).reshape(n_chains)
+    per_chain = [
+        jnp.asarray(agc_d.scaled_attack, jnp.float32).reshape(n_chains) * normals,
+        jnp.asarray(agc_d.scaled_decay, jnp.float32).reshape(n_chains) * normals,
+        jnp.asarray(agc_d.sustain_time, jnp.float32).reshape(n_chains),
+        jnp.asarray(agc_d.sustain_increment, jnp.float32).reshape(n_chains),
+        jnp.asarray(agc_d.target, jnp.float32).reshape(n_chains),
+    ]
+    return jnp.stack([jnp.repeat(r, blocks_per_chain) for r in per_chain])
 
 
 def use_pallas_loops(dtype) -> bool:

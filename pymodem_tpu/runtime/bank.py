@@ -391,20 +391,25 @@ def coherent_bank_demod_pallas(kind: str, params, blocks: jax.Array,
     Returns (C, B, Lout) baseband.
     """
     from ..dsp.loops import LoopParams
-    from ..dsp.pallas_loops import lane_params_from_loop, loop_lanes_pallas
+    from ..dsp.pallas_loops import (
+        agc_lane_params,
+        lane_params_from_loop,
+        loop_lanes_pallas,
+    )
 
     m = params["modem"]
     x = jax.vmap(lambda taps: fir_valid_nd(blocks, taps, method))(
         m["input_bpf"]
     )  # (C, B, L1)
-    # per-chain whole-recording max (agc.py:67), as in demod_blocks
+    # per-chain whole-recording max (agc.py:67), as in demod_blocks; the
+    # AGC follower itself runs fused inside the loop kernel
     normals = jnp.max(x, axis=(1, 2))
-    x = jax.vmap(
-        lambda xi, agc_c, nm: _agc_blocks(xi, agc_c, unroll, nm)
-    )(x, m["agc"], normals)
     C, B, L1 = x.shape
     loop = LoopParams(**params["loop"])
-    lane_params = lane_params_from_loop(loop, C, B)
+    lane_params = jnp.concatenate([
+        lane_params_from_loop(loop, C, B),
+        agc_lane_params(m["agc"], normals, C, B),
+    ])
     demod = loop_lanes_pallas(x.reshape(C * B, L1), lane_params, kind,
                               wavetable_size=loop.wavetable.shape[-1])
     demod = demod.reshape(C, B, L1)
@@ -526,13 +531,52 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
             slicer_kind, chain_params, baseband, capacity, unroll,
             compact_window,
         )
+        return post_slicer(data, addr, count)
+
+    def post_slicer(data, addr, count):
         data = data.astype(jnp.uint8)
         if poly not in (0, 1) or invert:
             data = descramble_bytes(data, poly, invert)
         sync = il2p_sync_candidates(data, sync_tolerance)
         return data, addr, count, pack_bits(sync)
 
-    if kind in ("afsk_pll", "bpsk") and _pallas_loop_wanted(blocks.dtype):
+    pallas = _pallas_loop_wanted(blocks.dtype)
+    if pallas and slicer_kind == "binary":
+        # bank-level path: demod to (C, B, L2) basebands, then ONE Pallas
+        # slicer kernel over all C*B lanes (ops/pallas_slicers.py) instead
+        # of a vmapped scan, then the per-chain byte tail.
+        from ..ops.pallas_slicers import (
+            binary_slice_lanes_pallas,
+            decode_emissions,
+        )
+        from ..ops.slicers import SlicerOut
+
+        if kind in ("afsk_pll", "bpsk"):
+            basebands = coherent_bank_demod_pallas(kind, params, blocks,
+                                                   method, unroll)
+        else:
+            basebands = jax.vmap(
+                lambda cp: demod_blocks(kind, dict(cp), blocks, method,
+                                        unroll)
+            )(params)
+        C, B, L2 = basebands.shape
+        lane_params = jnp.stack([
+            jnp.repeat(jnp.asarray(params["sps"], jnp.float32).reshape(C), B),
+            jnp.repeat(
+                jnp.asarray(params["lock_rate"], jnp.float32).reshape(C), B
+            ),
+        ])
+        enc = binary_slice_lanes_pallas(
+            basebands.reshape(C * B, L2), lane_params
+        ).reshape(C, B, L2)
+        valid, byte = decode_emissions(enc)
+        data, addr, count = jax.vmap(jax.vmap(
+            lambda v, b: compact_bytes(SlicerOut(v, b), capacity,
+                                       compact_window)
+        ))(valid, byte)
+        return jax.vmap(post_slicer)(data, addr, count)
+
+    if kind in ("afsk_pll", "bpsk") and pallas:
         basebands = coherent_bank_demod_pallas(kind, params, blocks, method,
                                                unroll)
         return jax.vmap(tail_stages)(params, basebands)
@@ -1005,7 +1049,7 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
 
 def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                block_seconds: float = 16.0, overlap_seconds: float = 6.0,
-               method: str = "auto", unroll: int = 8, codec: str = "host",
+               method: str = "auto", unroll: int = 8, codec: str = "device",
                max_packets_per_block: int = 8,
                max_blocks_per_step: int | None | str = "auto",
                total_candidates: int | None = None):
@@ -1014,11 +1058,14 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     Returns {chain_name: list[Packet]} with per-block keep-region filtering
     applied (each packet attributed to exactly one block).
 
-    codec: 'host' runs the reference-exact FSMs on device-computed sync
-    candidates; 'device' runs the batched on-device codecs
-    (codecs/il2p_device.py, codecs/ax25_device.py) when every chain in a
-    bank shares codec options, leaving the host only packet-object
-    conversion and reporting.
+    codec: 'device' (default -- measurably faster end-to-end, bench.py)
+    runs the batched on-device codecs (codecs/il2p_device.py,
+    codecs/ax25_device.py) when every chain in a bank shares codec
+    options, leaving the host only packet-object conversion and
+    reporting; banks with mixed codec options, and blocks whose device
+    result saturated a budget (candidate overflow, max_packets), fall
+    back per bank / per block to 'host' -- the reference-exact FSMs on
+    device-computed sync candidates.
 
     max_blocks_per_step: cap on blocks per device dispatch.  Long
     recordings run as ONE device program mapping over fixed-shape block
@@ -1272,7 +1319,7 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
 def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
                     block_seconds: float = 16.0, overlap_seconds: float = 6.0,
                     method: str = "auto", unroll: int = 8,
-                    codec: str = "host", verbose: bool = False):
+                    codec: str = "device", verbose: bool = False):
     """Banked analog of executor.run_plan: full plan -> aggregated report.
 
     Chain order in the aggregate follows the config file (deterministic),

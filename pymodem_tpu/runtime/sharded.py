@@ -244,7 +244,7 @@ def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
 def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
                        block_seconds: float = 16.0, overlap_seconds: float = 6.0,
                        method: str = "auto", unroll: int = 8,
-                       codec: str = "host", max_packets_per_block: int = 8,
+                       codec: str = "device", max_packets_per_block: int = 8,
                        total_candidates: int | None = None):
     """Sharded analog of bank.run_banked over an existing mesh.
 

@@ -75,3 +75,90 @@ def test_pallas_loop_matches_scan(kind, rng):
     # bitwise identical to the scan (Mosaic sin == XLA sin, verified on
     # hardware; see tools/pallas_parity.py).
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_loop_fused_agc_matches_scan(rng):
+    """15-row lane params run the AGC envelope follower inside the kernel;
+    must equal agc_apply (scan) -> afsk_pll (scan)."""
+    from pymodem_tpu.dsp.agc import agc_apply
+    from pymodem_tpu.dsp.pallas_loops import agc_lane_params
+    from pymodem_tpu.modems import _agc_params
+    from pymodem_tpu.config import AFSKPLLModemSpec
+
+    specs = [AFSKPLLModemSpec(sample_rate=8000.0,
+                              carrier_freq=1700.0 + 10 * i)
+             for i in range(2)]
+    params = [_f32_loop_params(s) for s in specs]
+    agcs = [_agc_params(s.agc, s.sample_rate) for s in specs]
+    B, T, C = 3, 700, len(specs)
+    x = (rng.standard_normal((C, B, T)) * 2.0).astype(np.float32)
+
+    want = []
+    normals = []
+    for c in range(C):
+        nm = np.float32(x[c].max())
+        normals.append(nm)
+        a = agcs[c]
+        rows = []
+        for b in range(B):
+            y = agc_apply(
+                jnp.asarray(x[c, b]),
+                scaled_attack=np.float32(a.scaled_attack),
+                scaled_decay=np.float32(a.scaled_decay),
+                sustain_time=np.float32(a.sustain_time),
+                sustain_increment=np.float32(a.sustain_increment),
+                target_amplitude=np.float32(a.target),
+                unroll=4, normal=jnp.asarray(nm),
+            )
+            rows.append(np.asarray(afsk_pll(y, params[c], unroll=4)))
+        want.append(np.stack(rows))
+    want = np.stack(want)
+
+    stacked = _stack(params)
+
+    class _A:
+        scaled_attack = np.array([np.float32(a.scaled_attack) for a in agcs])
+        scaled_decay = np.array([np.float32(a.scaled_decay) for a in agcs])
+        sustain_time = np.array([np.float32(a.sustain_time) for a in agcs])
+        sustain_increment = np.array(
+            [np.float32(a.sustain_increment) for a in agcs])
+        target = np.array([np.float32(a.target) for a in agcs])
+
+    lane_params = jnp.concatenate([
+        lane_params_from_loop(_stack(params), C, B),
+        agc_lane_params(_A, jnp.asarray(np.array(normals)), C, B),
+    ])
+    got = np.asarray(
+        loop_lanes_pallas(jnp.asarray(x.reshape(C * B, T)), lane_params,
+                          "afsk_pll", wavetable_size=256, tc=256)
+    ).reshape(C, B, T)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_binary_slicer_matches_scan(rng):
+    """Pallas lane slicer emissions == binary_slice scan (exact: the step
+    is compare/select/int arithmetic only)."""
+    from pymodem_tpu.ops.pallas_slicers import (
+        binary_slice_lanes_pallas,
+        decode_emissions,
+    )
+    from pymodem_tpu.ops.slicers import binary_slice
+
+    L, T = 5, 900
+    sps = np.array([8.0, 8.0, 13.19, 40.0, 6.0], np.float32)
+    lock = np.array([0.75, 0.9, 0.75, 0.65, 0.97], np.float32)
+    x = rng.standard_normal((L, T)).astype(np.float32)
+
+    enc = binary_slice_lanes_pallas(
+        jnp.asarray(x), jnp.asarray(np.stack([sps, lock])), tc=128
+    )
+    got = decode_emissions(enc)
+    for lane in range(L):
+        want = binary_slice(jnp.asarray(x[lane]), jnp.float32(sps[lane]),
+                            jnp.float32(lock[lane]), unroll=4)
+        np.testing.assert_array_equal(np.asarray(got.valid[lane]),
+                                      np.asarray(want.valid))
+        # bytes only meaningful on valid slots
+        v = np.asarray(want.valid)
+        np.testing.assert_array_equal(np.asarray(got.byte[lane])[v],
+                                      np.asarray(want.byte)[v])
