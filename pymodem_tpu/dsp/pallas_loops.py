@@ -65,19 +65,18 @@ def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
     from jax.experimental import pallas as pl
 
     t_idx = pl.program_id(1)
-    n_state = 7 if fuse_agc else 5
+    if kind == "agc":
+        n_state = 2
+    else:
+        n_state = 7 if fuse_agc else 5
 
     @pl.when(t_idx == 0)
     def _():
         z = jnp.zeros((rt, LANE), jnp.float32)
-        state_ref[0] = z  # phase
-        state_ref[1] = z  # control
-        state_ref[2] = z  # iir_x
-        state_ref[3] = z  # iir_y
-        state_ref[4] = params_ref[9]  # integral0
-        if fuse_agc:
-            state_ref[5] = z  # agc envelope
-            state_ref[6] = z  # agc sustain
+        for i in range(n_state):
+            state_ref[i] = z
+        if kind != "agc":
+            state_ref[4] = params_ref[9]  # integral0
 
     # group g's sublane slab: rows [g*gr, (g+1)*gr).  groups > 1 splits the
     # tile into INDEPENDENT carry chains whose (gr, 128) ops interleave in
@@ -117,7 +116,25 @@ def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
         x_t = jnp.where(env != 0, pg(14, g) * x_t / env, x_t)
         return x_t, (env, sustain)
 
-    if kind == "afsk_pll":
+    if kind == "agc":
+        # standalone AGC lanes (agc.py:26-80): params rows are
+        # _AGC_PARAMS only (attack_step at row 0)
+        def step_group(t, carry, g):
+            env, sustain = carry
+            x_t = x_ref[sl[g], t, :]
+            cv = jnp.abs(x_t)
+            rising = cv > env
+            env = jnp.where(rising, jnp.minimum(env + pg(0, g), cv), env)
+            sustain = jnp.where(rising, jnp.zeros_like(sustain), sustain)
+            decaying = sustain >= pg(2, g)
+            env = jnp.where(
+                decaying, jnp.maximum(env - pg(1, g), jnp.zeros_like(env)),
+                env)
+            sustain = sustain + pg(3, g)
+            out_ref[sl[g], t, :] = jnp.where(env != 0, pg(4, g) * x_t / env,
+                                             x_t)
+            return (env, sustain)
+    elif kind == "afsk_pll":
         # afsk_pll.py:153-165: mixer = x*sine; IIR; PI; output = prop
         def step_group(t, carry, g):
             phase, control, iir_x, iir_y, integral = carry[:5]
@@ -182,9 +199,14 @@ def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
 
     L, T = x.shape
     n_rows = lane_params.shape[0]
-    fuse_agc = n_rows == len(_PLL_PARAMS) + len(_AGC_PARAMS)
-    assert fuse_agc or n_rows == len(_PLL_PARAMS), n_rows
-    n_state = 7 if fuse_agc else 5
+    if kind == "agc":
+        fuse_agc = False
+        assert n_rows == len(_AGC_PARAMS), n_rows
+        n_state = 2
+    else:
+        fuse_agc = n_rows == len(_PLL_PARAMS) + len(_AGC_PARAMS)
+        assert fuse_agc or n_rows == len(_PLL_PARAMS), n_rows
+        n_state = 7 if fuse_agc else 5
     lanes_per_tile = rt * LANE
     Lp = -(-L // lanes_per_tile) * lanes_per_tile
     Tp = -(-T // tc) * tc
@@ -216,6 +238,215 @@ def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
     )(pr, xr)
 
     return out.transpose(0, 2, 1).reshape(Lp, Tp)[:L, :T]
+
+
+def _iq_loop_kernel(*refs, tc: int, kind: str, wavetable_size: int, rt: int,
+                    groups: int, fuse_agc: bool):
+    """qpsk / mpsk kernel: IQ (two-stream) outputs.
+
+    qpsk (psk.py:437-467): one input stream, branch IIRs on the I/Q
+    mixers, sign-based phase detector; params rows 10-11 are the branch
+    IIR (b0, a1), AGC fusion rows (if any) follow.
+    mpsk (psk.py:734-747): two input streams (analytic signal), computed
+    QPSK phase detector (phase_detector.py:124-149 formula on the same
+    quantized indices as the f64 table gather -- see dsp/loops.py
+    _pd_lookup), PI output rounded before use as NCO control; params rows
+    10-11 are (pd_gain, pd_granularity); no AGC fusion (the Hilbert FIR
+    sits between AGC and loop).
+    """
+    from jax.experimental import pallas as pl
+
+    n_in = 2 if kind == "mpsk" else 1
+    params_ref = refs[0]
+    x_refs = refs[1 : 1 + n_in]
+    out_i_ref, out_q_ref = refs[1 + n_in : 3 + n_in]
+    state_ref = refs[3 + n_in]
+
+    if kind == "qpsk":
+        n_state = 11 if fuse_agc else 9
+    else:
+        n_state = 5
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        z = jnp.zeros((rt, LANE), jnp.float32)
+        for i in range(n_state):
+            state_ref[i] = z
+        state_ref[4] = params_ref[9]  # integral0 (psk.py:703 pre-seed)
+
+    gr = rt // groups
+    sl = [slice(g * gr, (g + 1) * gr) for g in range(groups)]
+
+    def pg(i, g):
+        return params_ref[i, sl[g], :]
+
+    two_pi = jnp.float32(TWO_PI)
+    ang_scale = jnp.float32(TWO_PI / wavetable_size)
+
+    def nco(phase, control, g):
+        p = _wrap(phase + pg(0, g) * (pg(1, g) + control), two_pi)
+        sine_idx = (p * pg(2, g)).astype(jnp.int32)
+        angle = sine_idx.astype(jnp.float32) * ang_scale
+        return p, jnp.sin(angle), jnp.cos(angle)
+
+    def agc(x_t, env, sustain, g, base):
+        cv = jnp.abs(x_t)
+        rising = cv > env
+        env = jnp.where(rising, jnp.minimum(env + pg(base, g), cv), env)
+        sustain = jnp.where(rising, jnp.zeros_like(sustain), sustain)
+        decaying = sustain >= pg(base + 2, g)
+        env = jnp.where(decaying,
+                        jnp.maximum(env - pg(base + 1, g),
+                                    jnp.zeros_like(env)), env)
+        sustain = sustain + pg(base + 3, g)
+        out = jnp.where(env != 0, pg(base + 4, g) * x_t / env, x_t)
+        return out, env, sustain
+
+    if kind == "qpsk":
+        def step_group(t, carry, g):
+            (phase, control, iir_x, iir_y, integral,
+             cos_x, cos_y, sin_x, sin_y) = carry[:9]
+            x_t = x_refs[0][sl[g], t, :]
+            agc_carry = ()
+            if fuse_agc:
+                x_t, env, sustain = agc(x_t, carry[9], carry[10], g, 12)
+                agc_carry = (env, sustain)
+            p, sine, cosine = nco(phase, control, g)
+            i_mixer = x_t * cosine
+            cos_out = (pg(10, g) * i_mixer + pg(10, g) * cos_x) \
+                + pg(11, g) * cos_y
+            q_mixer = x_t * sine
+            sin_out = (pg(10, g) * q_mixer + pg(10, g) * sin_x) \
+                + pg(11, g) * sin_y
+            one = jnp.float32(1.0)
+            cos_sgn = jnp.where(cos_out >= 0, one, -one)
+            sin_sgn = jnp.where(sin_out >= 0, one, -one)
+            loop_mixer = (cos_out * sin_sgn) - (sin_out * cos_sgn)
+            y = (pg(3, g) * loop_mixer + pg(3, g) * iir_x) + pg(4, g) * iir_y
+            prop = pg(5, g) * y
+            integral = jnp.clip(integral + pg(6, g) * (pg(7, g) * y),
+                                -pg(8, g), pg(8, g))
+            control = prop + integral
+            out_i_ref[sl[g], t, :] = sin_out
+            out_q_ref[sl[g], t, :] = cos_out
+            return (p, control, loop_mixer, y, integral,
+                    i_mixer, cos_out, q_mixer, sin_out) + agc_carry
+    elif kind == "mpsk":
+        def step_group(t, carry, g):
+            phase, control, iir_x, iir_y, integral = carry
+            re = x_refs[0][sl[g], t, :]
+            im = x_refs[1][sl[g], t, :]
+            p, sine, cosine = nco(phase, control, g)
+            out_re = (re * cosine) - (im * (-sine))
+            out_im = (cosine * im) + (re * (-sine))
+            # computed phase detector (dsp/loops.py _pd_lookup f32 path)
+            gf = pg(11, g)
+            gi = gf.astype(jnp.int32)
+            half = gf * jnp.float32(0.5)
+            r = jnp.floor(out_re * half).astype(jnp.int32)
+            i = jnp.floor(out_im * half).astype(jnp.int32)
+            r = jnp.where(r >= gi, gi - 1, r)
+            i = jnp.where(i >= gi, gi - 1, i)
+            r = jnp.where(r <= -gi, -(gi - 1), r)
+            i = jnp.where(i <= -gi, -(gi - 1), i)
+            rn = r >= 0
+            inn = i >= 0
+            a = jnp.where(rn, jnp.where(inn, r, -i), jnp.where(inn, i, -r))
+            b = jnp.where(rn, jnp.where(inn, i, r), jnp.where(inn, -r, -i))
+            af = a.astype(jnp.float32)
+            bf = b.astype(jnp.float32)
+            mag2 = af * af + bf * bf
+            gate = (mag2 >= jnp.float32(0.15 * 0.15) * gf * gf) \
+                & (mag2 <= jnp.float32(0.76 * 0.76) * gf * gf)
+            deg = jnp.arctan2(bf, af) * jnp.float32(180.0 / np.pi)
+            err = jnp.round(pg(10, g) * (deg - jnp.float32(45.0)))
+            err = jnp.where(gate, err, jnp.float32(0.0))
+            y = (pg(3, g) * err + pg(3, g) * iir_x) + pg(4, g) * iir_y
+            prop = pg(5, g) * y
+            integral = jnp.clip(integral + pg(6, g) * (pg(7, g) * y),
+                                -pg(8, g), pg(8, g))
+            control = jnp.round(prop + integral)
+            out_i_ref[sl[g], t, :] = out_re
+            out_q_ref[sl[g], t, :] = out_im
+            return (p, control, err, y, integral)
+    else:
+        raise ValueError(kind)
+
+    def step(t, carries):
+        return tuple(step_group(t, carries[g], g) for g in range(groups))
+
+    carries = tuple(
+        tuple(state_ref[i, sl[g], :] for i in range(n_state))
+        for g in range(groups)
+    )
+    carries = jax.lax.fori_loop(0, tc, step, carries)
+    for g in range(groups):
+        for i in range(n_state):
+            state_ref[i, sl[g], :] = carries[g][i]
+
+
+@partial(jax.jit, static_argnames=("kind", "wavetable_size", "tc", "rt",
+                                   "groups"))
+def iq_loop_lanes_pallas(xs, lane_params: jax.Array, kind: str,
+                         wavetable_size: int = 256, tc: int = DEFAULT_TC,
+                         rt: int = DEFAULT_RT, groups: int = 1):
+    """qpsk/mpsk loop over (L, T) lanes -> (i_data, q_data), each (L, T).
+
+    xs: one (L, T) array for qpsk, a (re, im) pair for mpsk.
+    lane_params rows: _PLL_PARAMS + (branch_b0, branch_a1) for qpsk
+    (+ _AGC_PARAMS when fused), _PLL_PARAMS + (pd_gain, pd_granularity)
+    for mpsk.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    xs = (xs,) if not isinstance(xs, (tuple, list)) else tuple(xs)
+    n_in = len(xs)
+    assert n_in == (2 if kind == "mpsk" else 1), (kind, n_in)
+    L, T = xs[0].shape
+    n_rows = lane_params.shape[0]
+    if kind == "qpsk":
+        fuse_agc = n_rows == 12 + len(_AGC_PARAMS)
+        assert fuse_agc or n_rows == 12, n_rows
+        n_state = 11 if fuse_agc else 9
+    else:
+        fuse_agc = False
+        assert n_rows == 12, n_rows
+        n_state = 5
+    lanes_per_tile = rt * LANE
+    Lp = -(-L // lanes_per_tile) * lanes_per_tile
+    Tp = -(-T // tc) * tc
+    R = Lp // LANE
+    xrs = [
+        jnp.pad(x, ((0, Lp - L), (0, Tp - T)))
+        .reshape(R, LANE, Tp).transpose(0, 2, 1)
+        for x in xs
+    ]
+    pr = jnp.pad(lane_params, ((0, 0), (0, Lp - L))).reshape(n_rows, R, LANE)
+
+    assert rt % groups == 0 and (rt // groups) % 8 == 0, (rt, groups)
+    lane_spec = pl.BlockSpec((rt, tc, LANE), lambda r, t: (r, t, 0),
+                             memory_space=pltpu.VMEM)
+    out_i, out_q = pl.pallas_call(
+        partial(_iq_loop_kernel, tc=tc, kind=kind,
+                wavetable_size=wavetable_size, rt=rt, groups=groups,
+                fuse_agc=fuse_agc),
+        grid=(R // rt, Tp // tc),
+        in_specs=[
+            pl.BlockSpec((n_rows, rt, LANE), lambda r, t: (0, r, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [lane_spec] * n_in,
+        out_specs=[lane_spec, lane_spec],
+        out_shape=[jax.ShapeDtypeStruct((R, Tp, LANE), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((n_state, rt, LANE), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(pr, *xrs)
+
+    def unpack(o):
+        return o.transpose(0, 2, 1).reshape(Lp, Tp)[:L, :T]
+
+    return unpack(out_i), unpack(out_q)
 
 
 def lane_params_from_loop(loop: LoopParams, n_chains: int,

@@ -382,17 +382,21 @@ def _pallas_loop_wanted(dtype) -> bool:
 
 
 def coherent_bank_demod_pallas(kind: str, params, blocks: jax.Array,
-                               method: str, unroll: int) -> jax.Array:
+                               method: str, unroll: int):
     """Bank-level coherent demod with the Pallas loop engine.
 
-    params: C-stacked chain pytree; blocks: (B, Lin).  FIR and AGC stay
-    vmapped XLA ops; the PLL/Costas recurrence runs as ONE Pallas kernel
-    over all C*B lanes (dsp/pallas_loops.py) instead of a vmapped scan.
-    Returns (C, B, Lout) baseband.
+    params: C-stacked chain pytree; blocks: (B, Lin).  FIR stages stay
+    vmapped XLA matmuls; the AGC follower and the PLL/Costas recurrence
+    run as ONE Pallas kernel over all C*B lanes (dsp/pallas_loops.py)
+    instead of vmapped scans (AGC fuses into the loop kernel for
+    afsk_pll/bpsk/qpsk; mpsk runs it as a standalone lane kernel because
+    the Hilbert FIR sits between).  Returns (C, B, Lout) baseband, or an
+    (i, q) pair of those for qpsk/mpsk.
     """
     from ..dsp.loops import LoopParams
     from ..dsp.pallas_loops import (
         agc_lane_params,
+        iq_loop_lanes_pallas,
         lane_params_from_loop,
         loop_lanes_pallas,
     )
@@ -402,19 +406,59 @@ def coherent_bank_demod_pallas(kind: str, params, blocks: jax.Array,
         m["input_bpf"]
     )  # (C, B, L1)
     # per-chain whole-recording max (agc.py:67), as in demod_blocks; the
-    # AGC follower itself runs fused inside the loop kernel
+    # AGC follower itself runs in a Pallas lane kernel
     normals = jnp.max(x, axis=(1, 2))
     C, B, L1 = x.shape
     loop = LoopParams(**params["loop"])
-    lane_params = jnp.concatenate([
-        lane_params_from_loop(loop, C, B),
-        agc_lane_params(m["agc"], normals, C, B),
-    ])
-    demod = loop_lanes_pallas(x.reshape(C * B, L1), lane_params, kind,
-                              wavetable_size=loop.wavetable.shape[-1])
-    demod = demod.reshape(C, B, L1)
-    taps = m["output_lpf"] if kind == "afsk_pll" else m["rrc"]
-    return jax.vmap(lambda d, t: fir_valid_nd(d, t, method))(demod, taps)
+    base_rows = lane_params_from_loop(loop, C, B)
+    agc_rows = agc_lane_params(m["agc"], normals, C, B)
+    wsize = loop.wavetable.shape[-1]
+
+    def rep(leaf):
+        return jnp.repeat(jnp.asarray(leaf, jnp.float32).reshape(C), B)
+
+    if kind in ("afsk_pll", "bpsk"):
+        lane_params = jnp.concatenate([base_rows, agc_rows])
+        demod = loop_lanes_pallas(x.reshape(C * B, L1), lane_params, kind,
+                                  wavetable_size=wsize)
+        demod = demod.reshape(C, B, L1)
+        taps = m["output_lpf"] if kind == "afsk_pll" else m["rrc"]
+        return jax.vmap(lambda d, t: fir_valid_nd(d, t, method))(demod, taps)
+
+    if kind == "qpsk":
+        lane_params = jnp.concatenate([
+            base_rows,
+            rep(params["branch_b0"])[None],
+            rep(params["branch_a1"])[None],
+            agc_rows,
+        ])
+        i_d, q_d = iq_loop_lanes_pallas(x.reshape(C * B, L1), lane_params,
+                                        "qpsk", wavetable_size=wsize)
+        rrc = m["rrc"]
+        f = jax.vmap(lambda d, t: fir_valid_nd(d, t, method))
+        return (f(i_d.reshape(C, B, L1), rrc), f(q_d.reshape(C, B, L1), rrc))
+
+    if kind == "mpsk":
+        x = loop_lanes_pallas(x.reshape(C * B, L1), agc_rows, "agc"
+                              ).reshape(C, B, L1)
+        imag = jax.vmap(lambda d, t: fir_valid_nd(d, t, method))(
+            x, m["hilbert"])
+        delay = (m["hilbert"].shape[-1] - 1) // 2
+        real = x[..., delay:-delay] if delay else x
+        L2 = real.shape[-1]
+        lane_params = jnp.concatenate([
+            base_rows,
+            rep(params["pd_gain"])[None],
+            rep(params["pd_granularity"])[None],
+        ])
+        i_d, q_d = iq_loop_lanes_pallas(
+            (real.reshape(C * B, L2), imag.reshape(C * B, L2)), lane_params,
+            "mpsk", wavetable_size=wsize)
+        rrc = m["rrc"]
+        f = jax.vmap(lambda d, t: fir_valid_nd(d, t, method))
+        return (f(i_d.reshape(C, B, L2), rrc), f(q_d.reshape(C, B, L2), rrc))
+
+    raise ValueError(kind)
 
 
 def slice_blocks(slicer_kind: str, params, baseband, capacity: int,
@@ -551,7 +595,7 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
         )
         from ..ops.slicers import SlicerOut
 
-        if kind in ("afsk_pll", "bpsk"):
+        if kind in ("afsk_pll", "bpsk", "qpsk", "mpsk"):
             basebands = coherent_bank_demod_pallas(kind, params, blocks,
                                                    method, unroll)
         else:
@@ -576,7 +620,7 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
         ))(valid, byte)
         return jax.vmap(post_slicer)(data, addr, count)
 
-    if kind in ("afsk_pll", "bpsk") and pallas:
+    if kind in ("afsk_pll", "bpsk", "qpsk", "mpsk") and pallas:
         basebands = coherent_bank_demod_pallas(kind, params, blocks, method,
                                                unroll)
         return jax.vmap(tail_stages)(params, basebands)

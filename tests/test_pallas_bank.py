@@ -17,6 +17,9 @@ from pymodem_tpu.config import (
     ChainSpec,
     IL2PCodecSpec,
     LFSRStreamSpec,
+    QuadratureSlicerSpec,
+    _mpsk_preset,
+    _qpsk_preset,
 )
 from pymodem_tpu.runtime.bank import run_banked
 from pymodem_tpu.synth import fixtures as fx
@@ -63,4 +66,40 @@ def test_pallas_bank_matches_scan(family, rng, monkeypatch):
     monkeypatch.setenv("PYMODEM_TPU_LOOP_ENGINE", "pallas")
     got = _keyed(run_banked(chains, audio, block_seconds=4.0,
                             overlap_seconds=1.5))
+    assert got == want
+
+
+@pytest.mark.parametrize("family", ["qpsk", "mpsk"])
+def test_pallas_iq_bank_matches_scan(family, rng, monkeypatch):
+    from pymodem_tpu.synth import modulate as mod
+
+    sent = fx.payloads(rng, count=2, size=24)
+    line = fx.il2p_line_bits(sent, polynomial=0x1, invert=False)
+    if family == "qpsk":
+        modem = _qpsk_preset("2400", 44100.0)
+    else:
+        modem = _mpsk_preset("qpsk_2400", 44100.0)
+    audio = mod.qpsk_modulate(line, 44100.0, 1200.0, modem.carrier_freq)
+    chains = [
+        ChainSpec(
+            name=f"c{i}",
+            modem=modem,
+            slicer=QuadratureSlicerSpec(
+                sample_rate=44100.0, symbol_rate=1200.0, lock_rate=0.9,
+                bits_per_symbol=2, state_mask=0xF,
+            ),
+            stream=LFSRStreamSpec(polynomial=0x1, invert=False),
+            codec=IL2PCodecSpec(ident=f"c{i}"),
+        )
+        for i in range(2)
+    ]
+
+    monkeypatch.setenv("PYMODEM_TPU_LOOP_ENGINE", "scan")
+    want = _keyed(run_banked(chains, audio, block_seconds=2.0,
+                             overlap_seconds=0.8))
+    assert sum(len(v) for v in want.values()) >= 2 * len(sent) - 1
+
+    monkeypatch.setenv("PYMODEM_TPU_LOOP_ENGINE", "pallas")
+    got = _keyed(run_banked(chains, audio, block_seconds=2.0,
+                            overlap_seconds=0.8))
     assert got == want

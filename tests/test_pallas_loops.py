@@ -135,6 +135,112 @@ def test_pallas_loop_fused_agc_matches_scan(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+def test_pallas_qpsk_matches_scan(rng):
+    from pymodem_tpu.config import _qpsk_preset
+    from pymodem_tpu.dsp.loops import QPSKLoopParams, qpsk_costas
+    from pymodem_tpu.dsp.pallas_loops import iq_loop_lanes_pallas
+    from pymodem_tpu.dsp import window_design as wd
+
+    spec = _qpsk_preset("600", 8000.0)
+    lp = _f32_loop_params(spec)
+    bb0, ba1 = wd.iir1_lpf_coefs(spec.sample_rate, spec.branch_lpf_cutoff, 1.0)
+    qparams = QPSKLoopParams(base=lp, branch_b0=np.float32(bb0),
+                             branch_a1=np.float32(ba1))
+    B, T = 3, 700
+    x = rng.standard_normal((B, T)).astype(np.float32)
+
+    want_i, want_q = [], []
+    for b in range(B):
+        i_d, q_d = qpsk_costas(jnp.asarray(x[b]), qparams, unroll=4)
+        want_i.append(np.asarray(i_d))
+        want_q.append(np.asarray(q_d))
+
+    lane_params = jnp.concatenate([
+        lane_params_from_loop(_stack([lp]), 1, B),
+        jnp.full((1, B), bb0, jnp.float32),
+        jnp.full((1, B), ba1, jnp.float32),
+    ])
+    got_i, got_q = iq_loop_lanes_pallas(jnp.asarray(x), lane_params, "qpsk",
+                                        wavetable_size=256, tc=256)
+    np.testing.assert_allclose(np.asarray(got_i), np.stack(want_i),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_q), np.stack(want_q),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_mpsk_matches_scan(rng):
+    from pymodem_tpu.config import _mpsk_preset
+    from pymodem_tpu.dsp.loops import MPSKLoopParams, mpsk_loop
+    from pymodem_tpu.dsp.pallas_loops import iq_loop_lanes_pallas
+    from pymodem_tpu import modems
+
+    spec = _mpsk_preset("qpsk_600", 8000.0)
+    lp = _f32_loop_params(spec)
+    mp = modems.build_params(spec)
+    mparams = MPSKLoopParams(
+        base=lp, pd_table=jnp.asarray(mp.pd_table),
+        pd_granularity=np.int32(spec.pd_granularity),
+        pd_gain=np.float32(spec.pd_gain),
+    )
+    B, T = 3, 700
+    re = rng.standard_normal((B, T)).astype(np.float32)
+    im = rng.standard_normal((B, T)).astype(np.float32)
+
+    want_i, want_q = [], []
+    for b in range(B):
+        i_d, q_d = mpsk_loop(jnp.asarray(re[b]), jnp.asarray(im[b]),
+                             mparams, unroll=4)
+        want_i.append(np.asarray(i_d))
+        want_q.append(np.asarray(q_d))
+
+    lane_params = jnp.concatenate([
+        lane_params_from_loop(_stack([lp]), 1, B),
+        jnp.full((1, B), spec.pd_gain, jnp.float32),
+        jnp.full((1, B), float(spec.pd_granularity), jnp.float32),
+    ])
+    got_i, got_q = iq_loop_lanes_pallas(
+        (jnp.asarray(re), jnp.asarray(im)), lane_params, "mpsk",
+        wavetable_size=256, tc=256)
+    np.testing.assert_allclose(np.asarray(got_i), np.stack(want_i),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_q), np.stack(want_q),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_agc_kind_matches_scan(rng):
+    from pymodem_tpu.dsp.agc import agc_apply
+    from pymodem_tpu.config import AFSKPLLModemSpec
+    from pymodem_tpu.modems import _agc_params
+
+    spec = AFSKPLLModemSpec(sample_rate=8000.0)
+    a = _agc_params(spec.agc, spec.sample_rate)
+    B, T = 4, 600
+    x = (rng.standard_normal((B, T)) * 1.7).astype(np.float32)
+    nm = np.float32(x.max())
+    want = np.stack([
+        np.asarray(agc_apply(
+            jnp.asarray(x[b]),
+            scaled_attack=np.float32(a.scaled_attack),
+            scaled_decay=np.float32(a.scaled_decay),
+            sustain_time=np.float32(a.sustain_time),
+            sustain_increment=np.float32(a.sustain_increment),
+            target_amplitude=np.float32(a.target), unroll=4,
+            normal=jnp.asarray(nm),
+        )) for b in range(B)
+    ])
+    rows = jnp.stack([
+        jnp.full((B,), np.float32(a.scaled_attack) * nm),
+        jnp.full((B,), np.float32(a.scaled_decay) * nm),
+        jnp.full((B,), np.float32(a.sustain_time)),
+        jnp.full((B,), np.float32(a.sustain_increment)),
+        jnp.full((B,), np.float32(a.target)),
+    ])
+    got = np.asarray(
+        loop_lanes_pallas(jnp.asarray(x), rows, "agc", tc=256)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_binary_slicer_matches_scan(rng):
     """Pallas lane slicer emissions == binary_slice scan (exact: the step
     is compare/select/int arithmetic only)."""
