@@ -804,7 +804,12 @@ def auto_blocks_per_step(n_chains: int, block_input_len: int, n_blocks: int,
     per_block = max(n_chains * block_input_len * bytes_per * live_factor, 1.0)
     cap = max(int(hbm_budget / per_block), 1)
     g = min(max(-(-target_lanes // max(n_chains, 1)), 1), cap)
-    return None if g >= n_blocks else g
+    if g >= n_blocks:
+        return None
+    # balance: ceil(n_blocks / n_groups) so the last group is not mostly
+    # padding (225 blocks at g=212 would compute 2x212 slots; 2x113 here)
+    n_groups = -(-n_blocks // g)
+    return -(-n_blocks // n_groups)
 
 
 def auto_candidate_budget(sync: np.ndarray) -> int:
