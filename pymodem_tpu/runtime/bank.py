@@ -1081,12 +1081,17 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
             unroll, st["compact_window"],
         )
     # keep the wire dtype: int16 WAV uploads as int16; frames convert on
-    # device (int16 -> f32/f64 is exact, so decisions are unchanged)
-    audio = np.asarray(audio)
-    wire = audio if audio.dtype in (np.int16, np.float32) else (
-        audio.astype(np.float64) if dtype == jnp.float64
-        else audio.astype(np.float32)
-    )
+    # device (int16 -> f32/f64 is exact, so decisions are unchanged).  Audio
+    # already resident on device (a jax.Array, e.g. from a serving loop or a
+    # prior feed) is used as-is -- no host round trip, no re-upload.
+    if isinstance(audio, jax.Array) and not isinstance(audio, np.ndarray):
+        wire = audio
+    else:
+        audio = np.asarray(audio)
+        wire = audio if audio.dtype in (np.int16, np.float32) else (
+            audio.astype(np.float64) if dtype == jnp.float64
+            else audio.astype(np.float32)
+        )
     return bank_device_step_grouped(
         bank.kind, bank.slicer_kind, bank.params,
         jnp.asarray(wire), plan, max_blocks_per_step, cap,
@@ -1140,7 +1145,8 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                 "demod-output rate; run it via the sequential executor "
                 "(run_plan_banked routes it there automatically)"
             )
-    audio = np.asarray(audio)
+    if not isinstance(audio, jax.Array):
+        audio = np.asarray(audio)
     results: dict[str, list] = {}
     with profiling.timed("group_chains"):
         banks = group_chains(chains, dtype)
