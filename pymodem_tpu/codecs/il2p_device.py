@@ -119,19 +119,6 @@ def _descramble_fixed(data, n_valid):
     return jnp.where(idx < n_valid, out, data.astype(jnp.int32))
 
 
-def _pack_bytes_at(byte_row, bit_pos, count):
-    """Extract ``count`` bytes starting at bit offset ``bit_pos`` from a
-    byte array (MSB-first bit order): out[i] spans source bytes
-    bit_pos//8 + i and +1.  Two byte gathers + shifts per output byte --
-    ~20x less gather traffic than unpacking to a bit array first."""
-    sh = (bit_pos % 8).astype(jnp.int32)
-    byte0 = bit_pos // 8
-    idx = byte0 + jnp.arange(count)
-    b0 = jnp.take(byte_row, idx, mode="fill", fill_value=0).astype(jnp.int32)
-    b1 = jnp.take(byte_row, idx + 1, mode="fill", fill_value=0).astype(jnp.int32)
-    return ((b0 << sh) | (b1 >> (8 - sh))) & 0xFF
-
-
 @partial(jax.jit, static_argnames=("max_packets", "collect_crc", "disable_rs",
                                    "min_distance", "total_candidates",
                                    "total_rs_blocks"))
@@ -204,10 +191,31 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     pos = (src % n_bits_total).astype(jnp.int32)
     n_bits_of = counts[blk] * 8  # (T,)
 
-    rows = jnp.take(data, blk, axis=0).astype(jnp.int32)  # (T, K) byte rows
+    rows = jnp.take(data, blk, axis=0)  # (T, K) uint8 candidate byte rows
+
+    # ---- bit-aligned candidate spans ----
+    # One elementwise shift aligns each candidate's data (which starts at
+    # bit pos+1) to a byte boundary, then ONE contiguous windowed slice per
+    # candidate extracts everything downstream reads (header, payload
+    # blocks, CRC trailer).  Per-byte element gathers here cost ~20 ns
+    # each on TPU and dominated this program; contiguous windowed slices
+    # run at copy speed.
+    start_bit = pos + 1
+    shv = (start_bit % 8)[:, None].astype(jnp.int32)
+    r32 = rows.astype(jnp.int32)
+    nxt = jnp.concatenate([r32[:, 1:], jnp.zeros((T, 1), jnp.int32)], axis=1)
+    rows_sh = (((r32 << shv) | (nxt >> (8 - shv))) & 0xFF).astype(jnp.uint8)
+    # span covers header + max coded payload + CRC trailer, plus slack so
+    # the fixed 255-wide block reads below never clamp
+    span_w = 15 + MAX_PAYLOAD + 16 * MAX_BLOCKS + 255
+    rows_p = jnp.pad(rows_sh, ((0, 0), (0, span_w)))
+    byte0 = (start_bit // 8).astype(jnp.int32)
+    spans = jax.vmap(
+        lambda r, s: jax.lax.dynamic_slice_in_dim(r, s, span_w)
+    )(rows_p, byte0)  # (T, span_w) uint8, candidate-aligned
 
     # ---- per-candidate fixed-shape decode (vmapped over T) ----
-    hdr_raw = jax.vmap(lambda row, p: _pack_bytes_at(row, p + 1, 15))(rows, pos)
+    hdr_raw = spans[:, :15].astype(jnp.int32)
     if disable_rs:
         hdr_corr, hdr_res = hdr_raw, jnp.zeros((T,), jnp.int32)
     else:
@@ -218,74 +226,94 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     hdr = jax.vmap(lambda h: _descramble_fixed(h[:13], 13))(hdr_corr)
 
     parsed = jax.vmap(_parse_header)(hdr)
+    hdr_fail = hdr_res < 0
     count = jnp.clip(parsed[0], 0, MAX_PAYLOAD)
+    # Payload work is skipped entirely for failed headers and dead slots:
+    # their byte counts are garbage (the FSM consumes only the 121 header
+    # bits there), so zeroing the block layout removes up to MAX_BLOCKS
+    # phantom RS rows per bad candidate -- and the spurious RS-budget
+    # pressure (false ``dropped`` fallbacks) they caused.
+    count_live = jnp.where(hdr_fail | ~cand_valid, 0, count)
     ax25, ax25_len = jax.vmap(_ax25_header)(*parsed)
 
     # block layout (il2p.py:346-358)
-    block_count = jnp.maximum(-(-count // 239), 0)
-    base_size = jnp.where(block_count > 0, count // jnp.maximum(block_count, 1), 0)
-    big_blocks = count - block_count * base_size
+    block_count = jnp.maximum(-(-count_live // 239), 0)
+    base_size = jnp.where(
+        block_count > 0, count_live // jnp.maximum(block_count, 1), 0
+    )
+    big_blocks = count_live - block_count * base_size
     k_idx = jnp.arange(MAX_BLOCKS)[None, :]
     sizes = jnp.where(
         k_idx < big_blocks[:, None], base_size[:, None] + 1,
         jnp.where(k_idx < block_count[:, None], base_size[:, None], 0),
     )  # (T, MB)
     coded_sizes = jnp.where(sizes > 0, sizes + 16, 0)
-    block_bit_off = 120 + 8 * (jnp.cumsum(coded_sizes, axis=1) - coded_sizes)
+    coded_total = jnp.sum(coded_sizes, axis=1)
+    # byte offset of each coded block within the candidate span
+    block_byte_off = 15 + (jnp.cumsum(coded_sizes, axis=1) - coded_sizes)
 
-    blocks_raw = jax.vmap(
-        lambda row, p, offs: jax.vmap(
-            lambda o: _pack_bytes_at(row, p + 1 + o, 255)
-        )(offs)
-    )(rows, pos, block_bit_off)  # (T, MB, 255)
-
-    rs_overflow = jnp.zeros((T,), jnp.bool_)
+    # Compact the LIVE (candidate, slot) pairs before the expensive
+    # 16-root RS decode: nearly all packets use one payload block, so
+    # decoding all T*MAX_BLOCKS slots wastes ~5x RS work.  Budget
+    # overflow marks the candidate (host fallback via ``dropped``).
+    Rb = total_rs_blocks if total_rs_blocks else 2 * T
+    Rb = min(max(Rb, 8), T * MAX_BLOCKS)
+    flat_sizes = coded_sizes.reshape(-1)  # (T*MB,)
+    live = flat_sizes > 0
+    lcsum = jnp.cumsum(live.astype(jnp.int32))
+    n_live = lcsum[-1]
+    rs_slots = jnp.arange(1, Rb + 1)
+    rs_src = jnp.clip(
+        jnp.searchsorted(lcsum, rs_slots), 0, T * MAX_BLOCKS - 1
+    )
+    rs_valid = rs_slots <= n_live
+    rs_cand = (rs_src // MAX_BLOCKS).astype(jnp.int32)
+    rs_off = jnp.take(block_byte_off.reshape(-1), rs_src)
+    rows_rs = jax.vmap(
+        lambda c, s: jax.lax.dynamic_slice(spans, (c, s), (1, 255))[0]
+    )(rs_cand, rs_off).astype(jnp.int32)
+    rows_rs = jnp.where(rs_valid[:, None], rows_rs, 0)
+    sizes_rs = jnp.maximum(jnp.take(flat_sizes, rs_src), 1)
     if disable_rs:
-        blocks_corr = blocks_raw
-        blk_res = jnp.zeros((T, MAX_BLOCKS), jnp.int32)
+        bc_c, br_c = rows_rs, jnp.zeros((Rb,), jnp.int32)
     else:
-        # Compact the LIVE (candidate, slot) pairs before the expensive
-        # 16-root RS decode: nearly all packets use one payload block, so
-        # decoding all T*MAX_BLOCKS slots wastes ~5x RS work.  Budget
-        # overflow marks the candidate (host fallback via ``dropped``).
-        Rb = total_rs_blocks if total_rs_blocks else 2 * T
-        Rb = min(max(Rb, 8), T * MAX_BLOCKS)
-        flat_sizes = coded_sizes.reshape(-1)  # (T*MB,)
-        live = flat_sizes > 0
-        lcsum = jnp.cumsum(live.astype(jnp.int32))
-        n_live = lcsum[-1]
-        rs_slots = jnp.arange(1, Rb + 1)
-        rs_src = jnp.clip(
-            jnp.searchsorted(lcsum, rs_slots), 0, T * MAX_BLOCKS - 1
-        )
-        rs_valid = rs_slots <= n_live
-        rows_rs = jnp.take(blocks_raw.reshape(-1, 255), rs_src, axis=0)
-        sizes_rs = jnp.maximum(jnp.take(flat_sizes, rs_src), 1)
         bc_c, br_c = rs_ops.rs_decode_jax(
-            jnp.where(rs_valid[:, None], rows_rs, 0), sizes_rs,
-            num_roots=16, min_distance=min_distance,
+            rows_rs, sizes_rs, num_roots=16, min_distance=min_distance,
         )
-        # scatter back: flat slot -> its compact row (or none on overflow)
-        dest = lcsum - 1  # compact index of each live flat slot
-        in_budget = live & (dest < Rb)
-        safe_dest = jnp.clip(dest, 0, Rb - 1)
-        blocks_corr = jnp.where(
-            in_budget[:, None],
-            jnp.take(bc_c, safe_dest, axis=0),
-            blocks_raw.reshape(-1, 255),
-        ).reshape(T, MAX_BLOCKS, 255)
-        blk_res = jnp.where(
-            in_budget, jnp.take(br_c, safe_dest), 0
-        ).reshape(T, MAX_BLOCKS)
-        rs_overflow = jnp.any(
-            (live & ~in_budget).reshape(T, MAX_BLOCKS), axis=1
-        )
+    # per-slot RS results scatter back to (T, MB) for span/failure math
+    dest = lcsum - 1  # compact index of each live flat slot
+    in_budget = live & (dest < Rb)
+    safe_dest = jnp.clip(dest, 0, Rb - 1)
+    blk_res = jnp.where(
+        in_budget, jnp.take(br_c, safe_dest), 0
+    ).reshape(T, MAX_BLOCKS)
+    rs_overflow = jnp.any(
+        (live & ~in_budget).reshape(T, MAX_BLOCKS), axis=1
+    )
 
-    blocks_plain = jax.vmap(
-        jax.vmap(_descramble_fixed, in_axes=(0, 0)), in_axes=(0, 0)
-    )(blocks_corr, sizes)
+    # Descramble the corrected data bytes on the compact rows, then place
+    # them at their span offsets with ONE windowed scatter-add into a zero
+    # buffer (blocks are disjoint, so add == placement; rows are masked
+    # beyond their data size, and dead rows are all-zero).
+    data_sizes_rs = jnp.maximum(sizes_rs - 16, 0)
+    plain_rs = jax.vmap(_descramble_fixed)(bc_c, data_sizes_rs)
+    col255 = jnp.arange(255)[None, :]
+    upd = jnp.where(
+        (col255 < data_sizes_rs[:, None]) & rs_valid[:, None], plain_rs, 0
+    ).astype(jnp.uint8)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    plain_span = jax.lax.scatter_add(
+        jnp.zeros((T, span_w), jnp.uint8),
+        jnp.stack([rs_cand, rs_off], axis=1), upd, dnums,
+    )
 
-    # gather payload bytes: payload[i] lives in block k(i) at i - start_k
+    # payload byte i of block k lives at span offset 15 + i + 16k (each
+    # earlier block contributes its data bytes plus 16 parity bytes), so
+    # the payload is a select over MAX_BLOCKS statically-shifted views of
+    # plain_span -- no gather at all
     pay_idx = jnp.arange(MAX_PAYLOAD)[None, :]
     starts = jnp.cumsum(sizes, axis=1) - sizes
     k_of = jnp.sum(
@@ -293,32 +321,32 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
         axis=2,
     ) - 1
     k_of = jnp.clip(k_of, 0, MAX_BLOCKS - 1)
-    within = pay_idx - jnp.take_along_axis(starts, k_of, axis=1)
-    payload = jnp.take_along_axis(
-        blocks_plain.reshape(T, -1), k_of * 255 + jnp.clip(within, 0, 254),
-        axis=1,
-    )  # (T, MP)
+    payload = jnp.zeros((T, MAX_PAYLOAD), jnp.int32)
+    for k in range(MAX_BLOCKS):
+        view = plain_span[:, 15 + 16 * k: 15 + 16 * k + MAX_PAYLOAD]
+        payload = jnp.where(k_of == k, view.astype(jnp.int32), payload)
 
-    # trailing CRC (il2p.py:503-518)
-    crc_off = 120 + 8 * jnp.sum(coded_sizes, axis=1)
-    crc_raw = jax.vmap(lambda row, p, off: _pack_bytes_at(row, p + 1 + off, 4))(
-        rows, pos, crc_off
-    )
+    # trailing CRC (il2p.py:503-518): 4 bytes right after the coded payload
+    crc_raw = jax.vmap(
+        lambda s, o: jax.lax.dynamic_slice_in_dim(s, o, 4)
+    )(spans, 15 + coded_total).astype(jnp.int32)
     nib = jnp.asarray(_HAMMING)[crc_raw & 0x7F]
     sh = jnp.asarray([12, 8, 4, 0])
     carried_crc = jnp.sum(nib << sh[None, :], axis=1)
 
-    # assemble packet = ax25 header + payload (+2 CRC bytes)
+    # assemble packet = ax25 header + payload (+2 CRC bytes): payload goes
+    # in by a windowed dynamic_update_slice at its header offset; the
+    # header merges elementwise (it lives at offset 0, a static pad)
     slot = jnp.arange(MAX_PACKET_LEN)[None, :]
-    hdr_sel = jnp.take_along_axis(
-        ax25, jnp.clip(slot, 0, MAX_AX25_HEADER - 1), axis=1
-    )
+    placed = jax.vmap(
+        lambda p, o: jax.lax.dynamic_update_slice(
+            jnp.zeros((MAX_PACKET_LEN,), jnp.int32), p, (o,)
+        )
+    )(payload, ax25_len)
+    hdr_pad = jnp.pad(ax25, ((0, 0), (0, MAX_PACKET_LEN - MAX_AX25_HEADER)))
     pay_pos = slot - ax25_len[:, None]
-    pay_sel = jnp.take_along_axis(
-        payload, jnp.clip(pay_pos, 0, MAX_PAYLOAD - 1), axis=1
-    )
-    pkt = jnp.where(slot < ax25_len[:, None], hdr_sel,
-                    jnp.where(pay_pos < count[:, None], pay_sel, 0))
+    pkt = jnp.where(slot < ax25_len[:, None], hdr_pad,
+                    jnp.where(pay_pos < count[:, None], placed, 0))
     data_len = ax25_len + count
     total_len = data_len + 2
     calc_crc = crc16_masked(pkt.astype(jnp.uint8), data_len).astype(jnp.int32)
@@ -327,8 +355,7 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     pkt = jnp.where(slot == (data_len + 1)[:, None], trail[:, None] >> 8, pkt)
 
     # span consumed (bits): sync bit + header + blocks (+ crc)
-    span_ok = 1 + 120 + 8 * jnp.sum(coded_sizes, axis=1) + (32 if collect_crc else 0)
-    hdr_fail = hdr_res < 0
+    span_ok = 1 + 120 + 8 * coded_total + (32 if collect_crc else 0)
     blk_fail_any = jnp.any((blk_res < 0) & (coded_sizes > 0), axis=1)
     first_bad = jnp.argmax((blk_res < 0) & (coded_sizes > 0), axis=1)
     span_blk_fail = 1 + 120 + 8 * (
@@ -350,25 +377,63 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     # ``take`` consumes the candidate's span (the FSM moves past a failed RS
     # decode's collected bytes too); ``rank`` counts only EMITTED packets, so
     # RS-failed candidates never use up the per-block max_packets budget.
-    def accept_step(carry, xs):
-        cur_blk, resume, rank = carry
-        b, p, sp, v, s_ok, nb = xs
-        new_block = b != cur_blk
-        resume = jnp.where(new_block, 0, resume)
-        rank = jnp.where(new_block, 0, rank)
-        take = v & (p >= resume)
-        resume = jnp.where(take & (p < nb), p + sp, resume)
-        emit_here = take & s_ok
-        out_rank = rank
-        rank = jnp.where(emit_here, rank + 1, rank)
-        return (b, resume, rank), (emit_here, out_rank)
+    # Candidates sit contiguously per block in compaction order, so instead
+    # of T sequential scalar steps the scan runs SCAN_CAP sequential steps
+    # of (N,)-wide vector ops over per-block candidate windows.  A block
+    # with more than SCAN_CAP candidates reports the excess as ``dropped``
+    # (host-FSM fallback), like the other budget overflows.
+    scan_cap = 64
+    span_i = span.astype(jnp.int32)
+    # dead tail slots carry a clipped blk (N-1); push them past every real
+    # block so they don't inflate the last block's window / overflow count
+    blk_s = jnp.where(cand_valid, blk, N)
+    bstart = jnp.searchsorted(
+        blk_s, jnp.arange(N + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    bcount = bstart[1:] - bstart[:-1]  # (N,) candidates per block
+    starts_b = bstart[:-1]
 
-    z = jnp.zeros((), jnp.int32)
-    _, (emit, rank) = jax.lax.scan(
-        accept_step, (jnp.full((), -1, jnp.int32), z, z),
-        (blk, pos, span.astype(jnp.int32), cand_valid, structural_ok,
-         n_bits_of),
+    def win(a):
+        ap = jnp.pad(a, (0, scan_cap))
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(ap, s, scan_cap)
+        )(starts_b)  # (N, scan_cap) per-block windows
+
+    pos2 = win(pos)
+    span2 = win(span_i)
+    v2 = win(cand_valid.astype(jnp.int32)) > 0
+    s2 = win(structural_ok.astype(jnp.int32)) > 0
+    inb = jnp.arange(scan_cap)[None, :] < bcount[:, None]
+    nb_blk = counts.astype(jnp.int32) * 8  # (N,) valid bits per block
+    resume = jnp.zeros((N,), jnp.int32)
+    rank_v = jnp.zeros((N,), jnp.int32)
+    emit_cols, rank_cols = [], []
+    for j in range(scan_cap):
+        p = pos2[:, j]
+        v = v2[:, j] & inb[:, j]
+        take = v & (p >= resume)
+        resume = jnp.where(take & (p < nb_blk), p + span2[:, j], resume)
+        e = take & s2[:, j]
+        emit_cols.append(e)
+        rank_cols.append(rank_v)
+        rank_v = jnp.where(e, rank_v + 1, rank_v)
+    emit2 = jnp.stack(emit_cols, axis=1)  # (N, scan_cap)
+    rank2 = jnp.stack(rank_cols, axis=1)
+    # windowed scatter back to flat candidate slots (a window may overlap
+    # the next block's region; masked entries add zero)
+    dnums1 = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
     )
+    emit = jax.lax.scatter_add(
+        jnp.zeros((T + scan_cap,), jnp.int32), starts_b[:, None],
+        (emit2 & inb).astype(jnp.int32), dnums1,
+    )[:T] > 0
+    rank = jax.lax.scatter_add(
+        jnp.zeros((T + scan_cap,), jnp.int32), starts_b[:, None],
+        jnp.where(inb, rank2, 0).astype(jnp.int32), dnums1,
+    )[:T]
+    scan_over = jnp.maximum(bcount - scan_cap, 0)
 
     last_bit = jnp.clip(pos + span - 1, 0, n_bits_total - 1)
     address = addresses[blk, jnp.clip(last_bit // 8, 0, K - 1)].astype(jnp.int32)
@@ -400,7 +465,7 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
         jnp.zeros((N + 1,), jnp.int32)
         .at[jnp.where(cand_valid & rs_overflow, blk, N)].add(1)[:N]
     )
-    dropped = (per_block_cands - assigned) + over + rs_drop
+    dropped = (per_block_cands - assigned) + over + rs_drop + scan_over
 
     return {
         "packet": scatter(pkt),

@@ -34,11 +34,22 @@ LANE = 128  # lane-tile columns
 # Tile shape is bounded by the 16 MB scoped-VMEM limit: the in and out
 # blocks are (rt, tc, 128) f32 each, double-buffered by the Mosaic
 # pipeline, so rt*tc must stay <= ~6800 (rt=64/tc=512 OOMs on v5e).
-# (32, 128) measured fastest among the legal shapes (tools/pallas_loop_sweep).
+# (32, 128) measured fastest among the legal shapes at >= 4096 live lanes
+# (tools/pallas_loop_sweep).
 DEFAULT_RT = 32  # lane-tile rows: tall tiles pipeline the dependent
 # ~15-op chain across rows, hiding VPU op latency that an (8,128) tile
 # would expose every step
 DEFAULT_TC = 128  # time-chunk columns per grid step
+
+
+def auto_tile(n_lanes: int) -> tuple[int, int]:
+    """(rt, tc) for a lane count: the tile should just cover the LIVE lanes
+    -- a (32, 128) tile on 904 live lanes computes 4.5x padding (measured
+    2.7x slower than (8, 128) there); at >= 4096 lanes the tall default
+    wins.  tc grows as rt shrinks, holding rt*tc at the VMEM-legal 4096."""
+    rt = min(DEFAULT_RT, max(8, -(-n_lanes // LANE // 8) * 8))
+    tc = max(DEFAULT_TC, min(512, 4096 // rt))
+    return rt, tc - tc % 8
 
 # per-lane scalar parameter rows, in this order
 _PLL_PARAMS = ("phase_scale", "set_frequency", "index_scale", "iir_b0",
@@ -186,8 +197,8 @@ def _loop_kernel(params_ref, x_ref, out_ref, state_ref, *, tc: int,
 @partial(jax.jit, static_argnames=("kind", "wavetable_size", "tc", "rt",
                                    "groups"))
 def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
-                      wavetable_size: int = 256, tc: int = DEFAULT_TC,
-                      rt: int = DEFAULT_RT, groups: int = 1) -> jax.Array:
+                      wavetable_size: int = 256, tc: int | None = None,
+                      rt: int | None = None, groups: int = 1) -> jax.Array:
     """Run the PLL/Costas loop over (L, T) lanes in one Pallas kernel.
 
     x: (L, T) float32 independent lanes; lane_params: (10, L) float32 rows
@@ -198,6 +209,10 @@ def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
     from jax.experimental.pallas import tpu as pltpu
 
     L, T = x.shape
+    if rt is None or tc is None:
+        a_rt, a_tc = auto_tile(L)
+        rt = a_rt if rt is None else rt
+        tc = a_tc if tc is None else tc
     n_rows = lane_params.shape[0]
     if kind == "agc":
         fuse_agc = False
@@ -389,8 +404,8 @@ def _iq_loop_kernel(*refs, tc: int, kind: str, wavetable_size: int, rt: int,
 @partial(jax.jit, static_argnames=("kind", "wavetable_size", "tc", "rt",
                                    "groups"))
 def iq_loop_lanes_pallas(xs, lane_params: jax.Array, kind: str,
-                         wavetable_size: int = 256, tc: int = DEFAULT_TC,
-                         rt: int = DEFAULT_RT, groups: int = 1):
+                         wavetable_size: int = 256, tc: int | None = None,
+                         rt: int | None = None, groups: int = 1):
     """qpsk/mpsk loop over (L, T) lanes -> (i_data, q_data), each (L, T).
 
     xs: one (L, T) array for qpsk, a (re, im) pair for mpsk.
@@ -405,6 +420,10 @@ def iq_loop_lanes_pallas(xs, lane_params: jax.Array, kind: str,
     n_in = len(xs)
     assert n_in == (2 if kind == "mpsk" else 1), (kind, n_in)
     L, T = xs[0].shape
+    if rt is None or tc is None:
+        a_rt, a_tc = auto_tile(L)
+        rt = a_rt if rt is None else rt
+        tc = a_tc if tc is None else tc
     n_rows = lane_params.shape[0]
     if kind == "qpsk":
         fuse_agc = n_rows == 12 + len(_AGC_PARAMS)

@@ -63,23 +63,128 @@ def np_append_crc(data: list[int]) -> None:
 _CRC_TABLE_NP = CRC_TABLE.astype(np.uint32)
 
 
-def crc16_masked(data: jax.Array, length: jax.Array) -> jax.Array:
+def _crc_apply_map(rows: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Apply a GF(2)-linear 16->16 map (given as images of the 16 basis
+    bits) to an array of uint values."""
+    r = np.zeros_like(np.asarray(v, dtype=np.uint32))
+    for j in range(16):
+        r ^= np.where((v >> j) & 1, np.uint32(rows[j]), np.uint32(0))
+    return r
+
+
+_CRC_LIN_CACHE: dict[int, tuple] = {}
+
+
+def _crc_linear_ops(n: int):
+    """Static GF(2) operators for the matmul CRC over an n-byte buffer.
+
+    The byte step ``crc' = (crc >> 8) ^ table[(crc ^ b) & 0xFF]`` is affine
+    over GF(2): with L(c) = (c >> 8) ^ table[c & 0xFF] and T(b) = table[b]
+    (both linear -- the CRC table itself is linear, table[a^b] =
+    table[a]^table[b]), it is crc' = L(crc) ^ T(b).  Unrolled over a fixed
+    n-byte zero-padded buffer:
+
+        crc_n = L^n(init)  ^  XOR_i  (L^(n-1-i) o T)(byte_i)
+
+    which is ONE binary matrix product over the buffer's bits -- an MXU
+    matmul -- instead of an n-step sequential scan.  The masked
+    (first-``length``-bytes) state is recovered by inverting the trailing
+    ``n - length`` zero-byte steps: crc_len = L^-(n-length)(crc_n), applied
+    per row via binary decomposition of the exponent.
+
+    Returns (M (n*8, 16) float32, init_n uint16, inv_tabs (K, 2, 256)
+    uint16 hi/lo lookup tables for L^(-2^k)).
+    """
+    if n in _CRC_LIN_CACHE:
+        return _CRC_LIN_CACHE[n]
+    tab = CRC_TABLE.astype(np.uint32)
+
+    def L_apply(c):
+        c = np.asarray(c, dtype=np.uint32)
+        return (c >> 8) ^ tab[c & 0xFF]
+
+    # positional maps: M_rows[i] = images of byte-bit basis under L^(n-1-i) o T
+    t_rows = tab[np.uint32(1) << np.arange(8, dtype=np.uint32)]  # (8,) images
+    m_rows = np.zeros((n, 8), dtype=np.uint32)
+    cur = t_rows.copy()
+    for i in range(n - 1, -1, -1):
+        m_rows[i] = cur
+        cur = L_apply(cur)
+    bit_w = np.arange(16, dtype=np.uint32)
+    m = ((m_rows[..., None] >> bit_w) & 1).reshape(n * 8, 16).astype(np.float32)
+
+    init_n = np.uint32(0xFFFF)
+    for _ in range(n):
+        init_n = L_apply(init_n)
+
+    # L as a GF(2) matrix, inverted by Gaussian elimination (L is invertible:
+    # the polynomial has its constant term set, so x^8 is a unit mod poly)
+    l_rows = L_apply(np.uint32(1) << bit_w)
+    lm = ((l_rows[:, None] >> bit_w) & 1).astype(np.uint8)  # lm[b, j]
+    aug = np.concatenate([lm, np.eye(16, dtype=np.uint8)], axis=1)
+    for col in range(16):
+        piv = col + int(np.argmax(aug[col:, col]))
+        assert aug[piv, col], "CRC step map must be invertible"
+        if piv != col:
+            aug[[col, piv]] = aug[[piv, col]]
+        elim = (aug[:, col] == 1) & (np.arange(16) != col)
+        aug[elim] ^= aug[col]
+    inv_rows = np.zeros(16, dtype=np.uint32)
+    for b in range(16):
+        # row b of the inverse matrix -> image of basis b
+        inv_rows[b] = int(np.sum(aug[b, 16:].astype(np.uint32) << bit_w))
+    # binary-power hi/lo byte tables for L^(-2^k), k up to covering z <= n
+    n_k = max(int(n).bit_length(), 1)
+    bytes_256 = np.arange(256, dtype=np.uint32)
+    inv_tabs = np.zeros((n_k, 2, 256), dtype=np.uint16)
+    p_rows = inv_rows
+    for k in range(n_k):
+        inv_tabs[k, 0] = _crc_apply_map(p_rows, bytes_256 << 8)
+        inv_tabs[k, 1] = _crc_apply_map(p_rows, bytes_256)
+        p_rows = _crc_apply_map(p_rows, p_rows)  # compose: P o P
+    _CRC_LIN_CACHE[n] = (m, np.uint16(init_n), inv_tabs)
+    return _CRC_LIN_CACHE[n]
+
+
+def crc16_masked(data: jax.Array, length: jax.Array,
+                 chunk_size: int = 2048) -> jax.Array:
     """CRC of the first ``length`` bytes of a fixed-size buffer (device).
 
     data: (..., L) uint8; length: (...) int32.  Bytes at index >= length do
-    not affect the result (the CRC state is only advanced while i < length),
-    so padded packet buffers can be checked without compaction.
+    not affect the result, so padded packet buffers can be checked without
+    compaction.  Computed as a GF(2) matrix product on the MXU plus a
+    per-row exponent unwind (see _crc_linear_ops) -- no sequential scan.
     """
     max_len = data.shape[-1]
+    batch_shape = data.shape[:-1]
+    d2 = data.reshape(-1, max_len)
+    len2 = jnp.broadcast_to(length, batch_shape).reshape(-1).astype(jnp.int32)
+    m, init_n, inv_tabs = _crc_linear_ops(max_len)
     idx = jnp.arange(max_len, dtype=jnp.int32)
-    table = jnp.asarray(_CRC_TABLE_NP)
+    d2 = jnp.where(idx[None, :] < len2[:, None], d2, 0)
+    b_total = d2.shape[0]
 
-    def step(crc, xs):
-        byte, i = xs
-        nxt = (crc >> 8) ^ table[(crc ^ byte.astype(jnp.uint32)) & 0xFF]
-        return jnp.where(i < length, nxt, crc), None
+    def crc_full(rows):
+        bits = (rows[..., None].astype(jnp.int32) >> jnp.arange(8)) & 1
+        bits = bits.reshape(rows.shape[0], max_len * 8).astype(jnp.float32)
+        prod = jnp.dot(bits, jnp.asarray(m),
+                       preferred_element_type=jnp.float32)
+        par = jnp.mod(prod, 2.0).astype(jnp.uint32)
+        return jnp.sum(par << jnp.arange(16, dtype=jnp.uint32), axis=1)
 
-    init = jnp.full(length.shape, 0xFFFF, dtype=jnp.uint32)
-    data_t = jnp.moveaxis(data, -1, 0)
-    crc, _ = jax.lax.scan(step, init, (data_t, idx))
-    return crc ^ jnp.uint32(0xFFFF)
+    if b_total > chunk_size:
+        pad = -b_total % chunk_size
+        dp = jnp.pad(d2, ((0, pad), (0, 0)))
+        crc = jax.lax.map(
+            crc_full, dp.reshape(-1, chunk_size, max_len)
+        ).reshape(-1)[:b_total]
+    else:
+        crc = crc_full(d2)
+    crc = crc ^ jnp.uint32(init_n)
+    z = (max_len - jnp.clip(len2, 0, max_len)).astype(jnp.uint32)
+    for k in range(inv_tabs.shape[0]):
+        hi = jnp.asarray(inv_tabs[k, 0].astype(np.uint32))
+        lo = jnp.asarray(inv_tabs[k, 1].astype(np.uint32))
+        stepped = hi[(crc >> 8) & 0xFF] ^ lo[crc & 0xFF]
+        crc = jnp.where(((z >> k) & 1) == 1, stepped, crc)
+    return (crc ^ jnp.uint32(0xFFFF)).reshape(batch_shape)

@@ -87,7 +87,7 @@ def _binary_kernel(params_ref, x_ref, out_ref, fstate_ref, istate_ref, *,
 
 @partial(jax.jit, static_argnames=("tc", "rt", "groups"))
 def binary_slice_lanes_pallas(x: jax.Array, lane_params: jax.Array,
-                              tc: int = DEFAULT_TC, rt: int = DEFAULT_RT,
+                              tc: int | None = None, rt: int | None = None,
                               groups: int = 2) -> jax.Array:
     """Binary-slice (L, T) float32 lanes -> (L, T) int32 encoded emissions.
 
@@ -99,6 +99,16 @@ def binary_slice_lanes_pallas(x: jax.Array, lane_params: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
 
     L, T = x.shape
+    if rt is None or tc is None:
+        from ..dsp.pallas_loops import auto_tile
+
+        a_rt, a_tc = auto_tile(L)
+        rt = a_rt if rt is None else rt
+        tc = a_tc if tc is None else tc
+    # group slabs must stay (8k, 128)-shaped: fall back to 1 when the
+    # (possibly auto-chosen) rt can't split into groups of 8-row multiples
+    if rt % groups or (rt // groups) % 8:
+        groups = 1
     lanes_per_tile = rt * LANE
     Lp = -(-L // lanes_per_tile) * lanes_per_tile
     Tp = -(-T // tc) * tc

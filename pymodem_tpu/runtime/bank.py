@@ -824,6 +824,23 @@ def auto_candidate_budget(sync: np.ndarray) -> int:
     return 1 << (need - 1).bit_length()
 
 
+@jax.jit
+def _popcount_sum(sync):
+    return jnp.sum(
+        jax.lax.population_count(sync.astype(jnp.uint8)).astype(jnp.int32)
+    )
+
+
+def auto_candidate_budget_device(sync) -> int:
+    """auto_candidate_budget for a device-resident bitmap: reads back ONE
+    scalar (the population count reduces on device) instead of the whole
+    (C, B, cap) bitmap -- this readback is also the first sync point after
+    the demod program, so it should carry minimum transfer."""
+    n_cand = int(np.asarray(_popcount_sum(sync)))
+    need = max(64, int(n_cand * 1.25) + 16)
+    return 1 << (need - 1).bit_length()
+
+
 def _budget_bucket(n: int, lo: int = 64) -> int:
     """Power-of-two bucket >= 1.25*n so distinct budgets (compiles) are rare."""
     need = max(lo, int(n * 1.25) + 16)
@@ -832,18 +849,23 @@ def _budget_bucket(n: int, lo: int = 64) -> int:
 
 @jax.jit
 def _codec_out_sizes(ok, length):
-    """(n_valid_packets, total_valid_bytes) -- one tiny readback that also
-    synchronizes the codec step before the compaction dispatch."""
+    """(n_valid_packets, total_valid_bytes, max_packet_len) -- one tiny
+    readback that also synchronizes the codec step before the compaction
+    dispatch."""
     okf = ok.reshape(-1)
+    lenf = jnp.where(okf, length.reshape(-1).astype(jnp.int32), 0)
     return jnp.stack([
         jnp.sum(okf.astype(jnp.int32)),
-        jnp.sum(jnp.where(okf, length.reshape(-1).astype(jnp.int32), 0)),
+        jnp.sum(lenf),
+        jnp.max(lenf),
     ])
 
 
-@partial(jax.jit, static_argnames=("meta_budget", "bytes_budget"))
+@partial(jax.jit, static_argnames=("meta_budget", "bytes_budget",
+                                   "len_budget"))
 def compact_codec_out(ok, address, length, corrected, packet,
-                      meta_budget: int, bytes_budget: int):
+                      meta_budget: int, bytes_budget: int,
+                      len_budget: int | None = None):
     """Dense-pack the codec's fixed (C, B, P, Lmax) packet buffers on device.
 
     Readback of the fixed buffers scales with C*B*P*Lmax (~150 MB for the
@@ -885,16 +907,29 @@ def compact_codec_out(ok, address, length, corrected, packet,
         .at[pos]
         .set(jnp.arange(C * B * Pk, dtype=jnp.int32), mode="drop")
     )
-    rows = packet.reshape(C * B * Pk, -1)[row_src]  # (M, Lmax) uint8
+    # gather/scatter width tracks the LONGEST valid packet (bucketed, from
+    # the same sizes readback), not the structural Lmax of 1041: typical
+    # traffic is ~200-byte packets, a 4-8x cut in compaction work
+    flat_pk = packet.reshape(C * B * Pk, -1)
+    if len_budget is not None and len_budget < flat_pk.shape[-1]:
+        flat_pk = flat_pk[:, :len_budget]
+    rows = flat_pk[row_src]  # (M, len_budget) uint8
     j = jnp.arange(rows.shape[-1], dtype=jnp.int32)[None, :]
-    bpos = jnp.where(
-        j < meta["length"][:, None], meta["base"][:, None] + j, bytes_budget
+    # windowed scatter-add of whole rows at their stream offsets (an
+    # element-indexed scatter here cost ~20 ns/byte on TPU); rows are
+    # masked beyond their length, and row i's zero tail overlapping row
+    # i+1's region adds zero, so add == placement.  The operand carries
+    # Lmax slack so end-of-stream windows never clamp.
+    upd = jnp.where(j < meta["length"][:, None], rows, 0)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,),
     )
-    meta["bytes"] = (
-        jnp.zeros((bytes_budget,), jnp.uint8)
-        .at[bpos.reshape(-1)]
-        .set(rows.reshape(-1), mode="drop")
+    stream = jax.lax.scatter_add(
+        jnp.zeros((bytes_budget + rows.shape[-1],), jnp.uint8),
+        meta["base"][:, None], upd, dnums,
     )
+    meta["bytes"] = stream[:bytes_budget]
     return meta
 
 
@@ -905,7 +940,7 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
 
     if codec_key[0] == "il2p" and total_candidates is None:
         with profiling.timed("candidate_budget"):
-            total_candidates = auto_candidate_budget(np.asarray(sync))
+            total_candidates = auto_candidate_budget_device(sync)
     with profiling.timed("device_codec_step"):
         if codec_key[0] == "il2p":
             out = bank_codec_step(
@@ -914,8 +949,12 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                 collect_crc=codec_key[1], disable_rs=codec_key[2],
                 min_distance=codec_key[3],
                 total_candidates=total_candidates,
-                total_rs_blocks=2 * total_candidates
-                if total_candidates else None,
+                # failed-header candidates contribute zero RS rows, so the
+                # live-row population is ~1 payload block per real packet;
+                # T already carries a >= 25% margin over the candidate
+                # count.  Multi-block-heavy workloads that overflow fall
+                # back per block to the host FSM via ``dropped``.
+                total_rs_blocks=total_candidates,
             )
         else:
             out = bank_codec_step(
@@ -925,14 +964,18 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                 max_packet_length=codec_key[2],
             )
     with profiling.timed("codec_sizes"):
-        n_ok, total_bytes = map(
+        n_ok, total_bytes, max_len = map(
             int, np.asarray(_codec_out_sizes(out["ok"], out["length"]))
         )
     with profiling.timed("device_codec_compact"):
+        len_budget = min(
+            1 << (max(max_len, 64) - 1).bit_length(),
+            out["packet"].shape[-1],
+        )
         comp = compact_codec_out(
             out["ok"], out["address"], out["length"], out.get("corrected"),
             out["packet"], _budget_bucket(n_ok),
-            _budget_bucket(total_bytes, lo=4096),
+            _budget_bucket(total_bytes, lo=4096), len_budget,
         )
     with profiling.timed("device_codec_transfer"):
         comp = {k: np.asarray(v) for k, v in comp.items()}

@@ -60,6 +60,21 @@ def fixture_audio():
     return rate, np.asarray(audio)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache_maps():
+    """Drop jit executable caches after each test module.
+
+    Every compiled XLA:CPU executable holds multiple memory mappings; over
+    the whole suite the process crosses the kernel's vm.max_map_count
+    (65530) and the NEXT compile dies with SIGSEGV/SIGABRT inside
+    backend_compile_and_load (observed at ~63k maps, deterministically in
+    whichever module compiles next -- test_sharded at today's ordering).
+    Clearing per module re-pays only cross-module shared compiles and keeps
+    the mapping count bounded."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def rng(request):
     """Per-test deterministic generator.  (A session-scoped rng made test
