@@ -1417,11 +1417,17 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
 def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
                     block_seconds: float = 16.0, overlap_seconds: float = 6.0,
                     method: str = "auto", unroll: int = 8,
-                    codec: str = "device", verbose: bool = False):
+                    codec: str = "device", verbose: bool = False,
+                    resilient: bool = True):
     """Banked analog of executor.run_plan: full plan -> aggregated report.
 
     Chain order in the aggregate follows the config file (deterministic),
     unlike the reference's process-completion order (pymodem.py:158-163).
+
+    ``resilient`` mirrors the reference's per-stage skip-and-continue
+    (chain_execute.py:8-27): if the banked program fails, every chain is
+    retried individually through the sequential executor and chains that
+    still fail are reported and skipped rather than killing the run.
     """
     from ..packets import PacketAggregate
     from .executor import RunResult
@@ -1438,14 +1444,28 @@ def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
         if getattr(c.modem, "output_oversample", 1.0) > 1.0
     ]
     banked_chains = [c for c in plan.chains if c not in seq_chains]
-    by_name = run_banked(
-        banked_chains, audio, dtype=dtype, block_seconds=block_seconds,
-        overlap_seconds=overlap_seconds, method=method, unroll=unroll,
-        codec=codec,
-    )
+    try:
+        by_name = run_banked(
+            banked_chains, audio, dtype=dtype, block_seconds=block_seconds,
+            overlap_seconds=overlap_seconds, method=method, unroll=unroll,
+            codec=codec,
+        )
+    except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
+        if not resilient:
+            raise
+        print(f"banked runtime failed ({type(exc).__name__}: {exc}); "
+              f"retrying chains sequentially")
+        by_name = {}
+        seq_chains = list(plan.chains)
     for c in seq_chains:
-        by_name[c.name] = run_chain(c, audio, dtype=dtype, method=method,
-                                    unroll=unroll)
+        try:
+            by_name[c.name] = run_chain(c, audio, dtype=dtype, method=method,
+                                        unroll=unroll)
+        except Exception as exc:  # noqa: BLE001
+            if not resilient:
+                raise
+            print(f"skipped chain {c.name}: {type(exc).__name__}: {exc}")
+            by_name[c.name] = []
     aggregate = PacketAggregate()
     for chain in plan.chains:
         aggregate.add(by_name.get(chain.name, []))

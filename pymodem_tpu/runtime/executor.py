@@ -114,13 +114,28 @@ class RunResult:
 
 
 def run_plan(plan: RunPlan, audio: np.ndarray, sample_rate: float,
-             dtype=None, method: str = "auto", verbose: bool = False) -> RunResult:
-    """Run every chain and aggregate/correlate/report (pymodem.py:134-183)."""
+             dtype=None, method: str = "auto", verbose: bool = False,
+             resilient: bool = True) -> RunResult:
+    """Run every chain and aggregate/correlate/report (pymodem.py:134-183).
+
+    ``resilient`` replicates the reference's skip-and-continue stage
+    resilience (chain_execute.py:8-27): a chain that raises mid-run is
+    reported and skipped, the remaining chains still decode -- minus the
+    reference's hang when a dead chain never reaches queue.put
+    (pymodem.py:158-163).  Pass ``resilient=False`` to re-raise.
+    """
     aggregate = PacketAggregate()
     for chain in plan.chains:
         if verbose:
             print(f"{chain.name} chain start")
-        aggregate.add(run_chain(chain, audio, dtype=dtype, method=method))
+        try:
+            packets = run_chain(chain, audio, dtype=dtype, method=method)
+        except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
+            if not resilient:
+                raise
+            print(f"skipped chain {chain.name}: {type(exc).__name__}: {exc}")
+            packets = []
+        aggregate.add(packets)
     aggregate.validate_all()
     aggregate.correlate(address_distance=sample_rate / 40)
     reports = [
