@@ -861,6 +861,12 @@ def _codec_out_sizes(ok, length):
     ])
 
 
+# row order of compact_codec_out's stacked "meta" array ("corrected" row
+# present only when the codec reports correction counts)
+COMPACT_META_KEYS = ("address", "length", "chain", "block", "base",
+                     "corrected")
+
+
 @partial(jax.jit, static_argnames=("meta_budget", "bytes_budget",
                                    "len_budget"))
 def compact_codec_out(ok, address, length, corrected, packet,
@@ -893,15 +899,11 @@ def compact_codec_out(ok, address, length, corrected, packet,
     bi = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[None, :, None], ok.shape
     )
-    meta = {
-        "address": cmeta(address),
-        "length": cmeta(length),
-        "chain": cmeta(ci),
-        "block": cmeta(bi),
-        "base": cmeta(jnp.cumsum(lenf) - lenf),
-    }
+    base = jnp.cumsum(lenf) - lenf
+    meta_rows = [cmeta(address), cmeta(length), cmeta(ci), cmeta(bi),
+                 cmeta(base)]
     if corrected is not None:
-        meta["corrected"] = cmeta(corrected)
+        meta_rows.append(cmeta(corrected))
     row_src = (
         jnp.zeros((meta_budget,), jnp.int32)
         .at[pos]
@@ -920,17 +922,19 @@ def compact_codec_out(ok, address, length, corrected, packet,
     # masked beyond their length, and row i's zero tail overlapping row
     # i+1's region adds zero, so add == placement.  The operand carries
     # Lmax slack so end-of-stream windows never clamp.
-    upd = jnp.where(j < meta["length"][:, None], rows, 0)
+    upd = jnp.where(j < meta_rows[1][:, None], rows, 0)
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1,), inserted_window_dims=(),
         scatter_dims_to_operand_dims=(0,),
     )
     stream = jax.lax.scatter_add(
         jnp.zeros((bytes_budget + rows.shape[-1],), jnp.uint8),
-        meta["base"][:, None], upd, dnums,
+        meta_rows[4][:, None], upd, dnums,
     )
-    meta["bytes"] = stream[:bytes_budget]
-    return meta
+    # ONE stacked int32 metadata array (COMPACT_META_KEYS row order) + the
+    # byte stream: two readbacks instead of seven -- each np.asarray is a
+    # tunnel round trip on the axon backend
+    return {"meta": jnp.stack(meta_rows), "bytes": stream[:bytes_budget]}
 
 
 def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
@@ -978,7 +982,10 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
             _budget_bucket(total_bytes, lo=4096), len_budget,
         )
     with profiling.timed("device_codec_transfer"):
-        comp = {k: np.asarray(v) for k, v in comp.items()}
+        stream = comp["bytes"]
+        meta = np.asarray(comp["meta"])
+        comp = dict(zip(COMPACT_META_KEYS, meta))
+        comp["bytes"] = np.asarray(stream)
         dropped = (
             np.asarray(out["dropped"]) if "dropped" in out else None
         )
@@ -1027,39 +1034,58 @@ def packets_from_compact(bank, plan, comp, n_ok, dropped, data, addr, count,
             if dropped is not None
             else set()
         )
-        flat = comp["bytes"]
         corrected = comp.get("corrected")
-        per_chain: dict[int, list] = {}
-        for i in range(n_ok):
-            ci = int(comp["chain"][i])
-            b = int(comp["block"][i])
-            if (ci, b) in fallback:
-                continue
-            address = int(comp["address"][i])
-            lo, hi = plan.keep_range(b)
-            if not (lo < address <= hi):
-                continue
-            length = int(comp["length"][i])
-            base = int(comp["base"][i])
-            per_chain.setdefault(ci, []).append(
-                Packet(
-                    data=flat[base : base + length].tolist(),
-                    streamaddress=address,
-                    source_decoder=bank.specs[ci].codec.ident,
-                    bytes_corrected=int(corrected[i])
-                    if corrected is not None
-                    else 0,
-                )
-            )
-        _fallback_block_packets(
-            per_chain, bank, plan, fallback, data, addr, count, sync
+        # vectorized keep filter (keep_range + fallback membership), then
+        # ONE bulk bytes->list conversion and a plain zip loop of dataclass
+        # constructions -- the per-packet int()/tolist() form cost ~56 us
+        # per packet, dominating the packet-dense PLL bench
+        chain_a = comp["chain"][:n_ok].astype(np.int64)
+        block_a = comp["block"][:n_ok].astype(np.int64)
+        addr_a = comp["address"][:n_ok].astype(np.int64)
+        lo = block_a * plan.block_len
+        keep = (addr_a > lo) & (
+            addr_a <= np.minimum(lo + plan.block_len, plan.n_demod)
         )
+        if fallback:
+            key = chain_a * plan.n_blocks + block_a
+            fb_keys = np.array(
+                [ci * plan.n_blocks + b for ci, b in fallback], dtype=np.int64
+            )
+            keep &= ~np.isin(key, fb_keys)
+        idx = np.nonzero(keep)[0]
+        flat_list = comp["bytes"].tolist()
+        corr_l = (
+            corrected[:n_ok][idx].tolist()
+            if corrected is not None
+            else [0] * len(idx)
+        )
+        idents = [spec.codec.ident for spec in bank.specs]
+        per_chain: dict[int, list] = {}
+        with profiling.timed("packet_build"):
+            for ci, address, length, base, corr in zip(
+                chain_a[idx].tolist(), addr_a[idx].tolist(),
+                comp["length"][:n_ok][idx].tolist(),
+                comp["base"][:n_ok][idx].tolist(), corr_l,
+            ):
+                per_chain.setdefault(ci, []).append(
+                    Packet(
+                        data=flat_list[base : base + length],
+                        streamaddress=address,
+                        source_decoder=idents[ci],
+                        bytes_corrected=corr,
+                    )
+                )
+        with profiling.timed("packet_fallback"):
+            _fallback_block_packets(
+                per_chain, bank, plan, fallback, data, addr, count, sync
+            )
         for pkts in per_chain.values():
             pkts.sort(key=lambda p: p.streamaddress)
-        return {
-            chain.name: _dedup_block_boundary(per_chain.get(ci, []), chain)
-            for ci, chain in enumerate(bank.specs)
-        }
+        with profiling.timed("packet_dedup"):
+            return {
+                chain.name: _dedup_block_boundary(per_chain.get(ci, []), chain)
+                for ci, chain in enumerate(bank.specs)
+            }
 
 
 def packets_from_device_out(bank, plan, out, data, addr, count, sync):
