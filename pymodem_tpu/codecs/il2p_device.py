@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rs as rs_ops
-from ..ops.bits import bytes_to_bits_msb
+from ..ops.bits import place_rows_shifted, take_rows_shifted
 from ..ops.crc import crc16_masked
 from ..ops.hamming import HAMMING74_DECODE
 from ..ops.lfsr import descramble_bytes
@@ -46,6 +46,14 @@ MAX_PACKET_LEN = MAX_AX25_HEADER + MAX_PAYLOAD + 2
 _HAMMING = HAMMING74_DECODE.astype(np.int32)
 _PID = np.asarray(PID_TABLE, dtype=np.int32)
 _UCTL = np.asarray(U_CONTROL, dtype=np.int32)
+# _SETBIT_POS[v, r] = stream-order index (0 = MSB) of the (r+1)-th set bit
+# of byte value v (unused ranks point at 0; rank validity is guaranteed by
+# the popcount cumsum that produced the rank)
+_SETBIT_POS = np.zeros((256, 8), dtype=np.int32)
+for _v in range(256):
+    _k = [i for i in range(8) if (_v >> (7 - i)) & 1]
+    _SETBIT_POS[_v, : len(_k)] = _k
+del _v, _k
 
 
 def _parse_header(buf):
@@ -121,13 +129,14 @@ def _descramble_fixed(data, n_valid):
 
 @partial(jax.jit, static_argnames=("max_packets", "collect_crc", "disable_rs",
                                    "min_distance", "total_candidates",
-                                   "total_rs_blocks"))
+                                   "total_rs_blocks", "scan_cap"))
 def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
                        counts: jax.Array, addresses: jax.Array,
                        max_packets: int = 8, collect_crc: bool = True,
                        disable_rs: bool = False, min_distance: int = 0,
                        total_candidates: int | None = None,
-                       total_rs_blocks: int | None = None):
+                       total_rs_blocks: int | None = None,
+                       scan_cap: int = 64):
     """Decode IL2P packets from byte-stream blocks, fully on device.
 
     data: (..., K) uint8 descrambled stream bytes; sync_packed: (..., K)
@@ -151,14 +160,15 @@ def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
     out = _il2p_decode_flat(
         flat(data), flat(sync_packed), counts.reshape(-1), flat(addresses),
         max_packets, collect_crc, disable_rs, min_distance, total_candidates,
-        total_rs_blocks,
+        total_rs_blocks, scan_cap,
     )
     return {k: v.reshape(batch_shape + v.shape[1:]) for k, v in out.items()}
 
 
 def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
                       collect_crc, disable_rs, min_distance,
-                      total_candidates=None, total_rs_blocks=None):
+                      total_candidates=None, total_rs_blocks=None,
+                      scan_cap=64):
     """Globally candidate-compacted decode.
 
     Candidates are compacted ACROSS the whole (flattened) block batch before
@@ -176,17 +186,27 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     T = total_candidates if total_candidates else N * max_packets
     T = max(T, 8)
 
-    bit_idx = jnp.arange(n_bits_total)
-    cand = bytes_to_bits_msb(sync_packed).astype(jnp.bool_)
-    cand = cand & (bit_idx[None, :] < (counts * 8)[:, None])
-
     # ---- global compaction: flat index = block * K8 + pos (sorted) ----
-    flat = cand.reshape(-1)
-    csum = jnp.cumsum(flat.astype(jnp.int32))
-    total = csum[-1]
+    # Byte-granular: the candidate mask (bit < counts*8) is exactly a byte
+    # mask (byte j live iff j < counts), so the rank cumsum runs over byte
+    # POPCOUNTS (N*K int32) instead of expanded bits (8x the traffic); the
+    # bit within the source byte comes from a (256, 8) set-bit-position
+    # table gather on the T slots only.
+    masked = jnp.where(
+        jnp.arange(K)[None, :] < counts[:, None], sync_packed, 0
+    ).astype(jnp.uint8)
+    pcb2 = jax.lax.population_count(masked).astype(jnp.int32)  # (N, K)
+    pcb = pcb2.reshape(-1)
+    bcs = jnp.cumsum(pcb)
+    total = bcs[-1]
     slots = jnp.arange(1, T + 1)
-    src = jnp.clip(jnp.searchsorted(csum, slots), 0, N * n_bits_total - 1)
+    bsrc = jnp.clip(jnp.searchsorted(bcs, slots), 0, N * K - 1)
     cand_valid = slots <= total
+    before = jnp.take(bcs, bsrc) - jnp.take(pcb, bsrc)
+    rank_in_byte = jnp.clip(slots - 1 - before, 0, 7)
+    bytev = jnp.take(masked.reshape(-1), bsrc).astype(jnp.int32)
+    k_in = jnp.asarray(_SETBIT_POS)[bytev, rank_in_byte]
+    src = bsrc * 8 + k_in
     blk = (src // n_bits_total).astype(jnp.int32)
     pos = (src % n_bits_total).astype(jnp.int32)
     n_bits_of = counts[blk] * 8  # (T,)
@@ -195,11 +215,11 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
 
     # ---- bit-aligned candidate spans ----
     # One elementwise shift aligns each candidate's data (which starts at
-    # bit pos+1) to a byte boundary, then ONE contiguous windowed slice per
-    # candidate extracts everything downstream reads (header, payload
+    # bit pos+1) to a byte boundary, then one shifted-window extraction per
+    # candidate gathers everything downstream reads (header, payload
     # blocks, CRC trailer).  Per-byte element gathers here cost ~20 ns
-    # each on TPU and dominated this program; contiguous windowed slices
-    # run at copy speed.
+    # each on TPU, and per-row dynamic slices ~3 us/row; the static
+    # binary-decomposition rolls of take_rows_shifted run at copy speed.
     start_bit = pos + 1
     shv = (start_bit % 8)[:, None].astype(jnp.int32)
     r32 = rows.astype(jnp.int32)
@@ -208,11 +228,9 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     # span covers header + max coded payload + CRC trailer, plus slack so
     # the fixed 255-wide block reads below never clamp
     span_w = 15 + MAX_PAYLOAD + 16 * MAX_BLOCKS + 255
-    rows_p = jnp.pad(rows_sh, ((0, 0), (0, span_w)))
     byte0 = (start_bit // 8).astype(jnp.int32)
-    spans = jax.vmap(
-        lambda r, s: jax.lax.dynamic_slice_in_dim(r, s, span_w)
-    )(rows_p, byte0)  # (T, span_w) uint8, candidate-aligned
+    spans = take_rows_shifted(rows_sh, byte0, span_w)
+    # (T, span_w) uint8, candidate-aligned
 
     # ---- per-candidate fixed-shape decode (vmapped over T) ----
     hdr_raw = spans[:, :15].astype(jnp.int32)
@@ -269,9 +287,8 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     rs_valid = rs_slots <= n_live
     rs_cand = (rs_src // MAX_BLOCKS).astype(jnp.int32)
     rs_off = jnp.take(block_byte_off.reshape(-1), rs_src)
-    rows_rs = jax.vmap(
-        lambda c, s: jax.lax.dynamic_slice(spans, (c, s), (1, 255))[0]
-    )(rs_cand, rs_off).astype(jnp.int32)
+    spans_rs = jnp.take(spans, rs_cand, axis=0)  # (Rb, span_w) row gather
+    rows_rs = take_rows_shifted(spans_rs, rs_off, 255).astype(jnp.int32)
     rows_rs = jnp.where(rs_valid[:, None], rows_rs, 0)
     sizes_rs = jnp.maximum(jnp.take(flat_sizes, rs_src), 1)
     if disable_rs:
@@ -291,62 +308,48 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
         (live & ~in_budget).reshape(T, MAX_BLOCKS), axis=1
     )
 
-    # Descramble the corrected data bytes on the compact rows, then place
-    # them at their span offsets with ONE windowed scatter-add into a zero
-    # buffer (blocks are disjoint, so add == placement; rows are masked
-    # beyond their data size, and dead rows are all-zero).
+    # Descramble the corrected data bytes on the compact rows, route them
+    # back to the (T, MAX_BLOCKS) slot grid (a row gather on the compact
+    # index), then place block k's data bytes at its payload offset with
+    # static binary rolls.  Blocks are disjoint in payload space, so the
+    # sum over k is placement; rows are masked beyond their data size and
+    # dead/over-budget slots are all-zero.  (A windowed scatter-add here
+    # cost ~3 us/row on TPU.)
     data_sizes_rs = jnp.maximum(sizes_rs - 16, 0)
     plain_rs = jax.vmap(_descramble_fixed)(bc_c, data_sizes_rs)
     col255 = jnp.arange(255)[None, :]
     upd = jnp.where(
         (col255 < data_sizes_rs[:, None]) & rs_valid[:, None], plain_rs, 0
     ).astype(jnp.uint8)
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1,), inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0, 1),
-    )
-    plain_span = jax.lax.scatter_add(
-        jnp.zeros((T, span_w), jnp.uint8),
-        jnp.stack([rs_cand, rs_off], axis=1), upd, dnums,
-    )
-
-    # payload byte i of block k lives at span offset 15 + i + 16k (each
-    # earlier block contributes its data bytes plus 16 parity bytes), so
-    # the payload is a select over MAX_BLOCKS statically-shifted views of
-    # plain_span -- no gather at all
-    pay_idx = jnp.arange(MAX_PAYLOAD)[None, :]
+    pdata = jnp.where(
+        in_budget[:, None], jnp.take(upd, safe_dest, axis=0), 0
+    ).reshape(T, MAX_BLOCKS, 255)
     starts = jnp.cumsum(sizes, axis=1) - sizes
-    k_of = jnp.sum(
-        (pay_idx[:, :, None] >= starts[:, None, :]) & (sizes[:, None, :] > 0),
-        axis=2,
-    ) - 1
-    k_of = jnp.clip(k_of, 0, MAX_BLOCKS - 1)
-    payload = jnp.zeros((T, MAX_PAYLOAD), jnp.int32)
+    payload = jnp.zeros((T, MAX_PAYLOAD), jnp.uint8)
     for k in range(MAX_BLOCKS):
-        view = plain_span[:, 15 + 16 * k: 15 + 16 * k + MAX_PAYLOAD]
-        payload = jnp.where(k_of == k, view.astype(jnp.int32), payload)
+        payload = payload + place_rows_shifted(
+            pdata[:, k, :], starts[:, k], MAX_PAYLOAD
+        )
 
     # trailing CRC (il2p.py:503-518): 4 bytes right after the coded payload
-    crc_raw = jax.vmap(
-        lambda s, o: jax.lax.dynamic_slice_in_dim(s, o, 4)
-    )(spans, 15 + coded_total).astype(jnp.int32)
+    crc_raw = take_rows_shifted(
+        spans, 15 + coded_total, 4
+    ).astype(jnp.int32)
     nib = jnp.asarray(_HAMMING)[crc_raw & 0x7F]
     sh = jnp.asarray([12, 8, 4, 0])
     carried_crc = jnp.sum(nib << sh[None, :], axis=1)
 
-    # assemble packet = ax25 header + payload (+2 CRC bytes): payload goes
-    # in by a windowed dynamic_update_slice at its header offset; the
-    # header merges elementwise (it lives at offset 0, a static pad)
+    # assemble packet = ax25 header + payload (+2 CRC bytes): the payload
+    # (masked to ``count`` bytes) is placed at its header offset with
+    # static binary rolls; the header merges elementwise (it lives at
+    # offset 0, a static pad)
     slot = jnp.arange(MAX_PACKET_LEN)[None, :]
-    placed = jax.vmap(
-        lambda p, o: jax.lax.dynamic_update_slice(
-            jnp.zeros((MAX_PACKET_LEN,), jnp.int32), p, (o,)
-        )
-    )(payload, ax25_len)
+    pay_idx = jnp.arange(MAX_PAYLOAD)[None, :]
+    pay_masked = jnp.where(pay_idx < count[:, None], payload, 0)
+    placed = place_rows_shifted(pay_masked, ax25_len, MAX_PACKET_LEN)
     hdr_pad = jnp.pad(ax25, ((0, 0), (0, MAX_PACKET_LEN - MAX_AX25_HEADER)))
-    pay_pos = slot - ax25_len[:, None]
     pkt = jnp.where(slot < ax25_len[:, None], hdr_pad,
-                    jnp.where(pay_pos < count[:, None], placed, 0))
+                    placed.astype(jnp.int32))
     data_len = ax25_len + count
     total_len = data_len + 2
     calc_crc = crc16_masked(pkt.astype(jnp.uint8), data_len).astype(jnp.int32)
@@ -382,7 +385,6 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     # of (N,)-wide vector ops over per-block candidate windows.  A block
     # with more than SCAN_CAP candidates reports the excess as ``dropped``
     # (host-FSM fallback), like the other budget overflows.
-    scan_cap = 64
     span_i = span.astype(jnp.int32)
     # dead tail slots carry a clipped blk (N-1); push them past every real
     # block so they don't inflate the last block's window / overflow count
@@ -452,7 +454,7 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     # (slot budget T exhausted) plus emitted packets beyond max_packets.
     # dropped > 0 means this block's result may be incomplete -- callers
     # fall back to the host FSM for it.
-    per_block_cands = jnp.sum(cand, axis=1).astype(jnp.int32)
+    per_block_cands = jnp.sum(pcb2, axis=1)
     assigned = (
         jnp.zeros((N + 1,), jnp.int32)
         .at[jnp.where(cand_valid, blk, N)].add(1)[:N]

@@ -165,12 +165,18 @@ def crc16_masked(data: jax.Array, length: jax.Array,
     b_total = d2.shape[0]
 
     def crc_full(rows):
-        bits = (rows[..., None].astype(jnp.int32) >> jnp.arange(8)) & 1
-        bits = bits.reshape(rows.shape[0], max_len * 8).astype(jnp.float32)
-        prod = jnp.dot(bits, jnp.asarray(m),
-                       preferred_element_type=jnp.float32)
-        par = jnp.mod(prod, 2.0).astype(jnp.uint32)
-        return jnp.sum(par << jnp.arange(16, dtype=jnp.uint32), axis=1)
+        # int8 operands: the bit expansion is 8x the buffer and dominated
+        # this stage as f32 (4 bytes/bit); the MXU takes s8 x s8 -> s32
+        # directly and the accumulator (<= max_len*8 ones) fits easily
+        bits = ((rows[..., None] >> jnp.arange(8, dtype=jnp.uint8))
+                & jnp.uint8(1)).astype(jnp.int8)
+        bits = bits.reshape(rows.shape[0], max_len * 8)
+        prod = jnp.dot(bits, jnp.asarray(m, dtype=jnp.int8),
+                       preferred_element_type=jnp.int32)
+        return jnp.sum(
+            (prod.astype(jnp.uint32) & 1)
+            << jnp.arange(16, dtype=jnp.uint32), axis=1
+        )
 
     if b_total > chunk_size:
         pad = -b_total % chunk_size

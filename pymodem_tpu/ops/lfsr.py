@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bits import bits_to_bytes_msb, bytes_to_bits_msb, shift_right_zero_fill
+from .bits import shift_right_zero_fill
 
 
 def poly_tap_positions(polynomial: int) -> tuple[int, ...]:
@@ -47,6 +47,38 @@ def descramble_bits(bits: jax.Array, polynomial: int, seed: int = 0) -> jax.Arra
     return out
 
 
+def _seed_bytes(seed: int, n_bytes: int) -> np.ndarray:
+    """MSB-first packing of the seed's shift-out bits (bit i of the seed
+    leaves the register at stream time i)."""
+    n_bits = min(n_bytes * 8, seed.bit_length())
+    bits = np.zeros(n_bytes * 8, dtype=np.uint8)
+    for i in range(n_bits):
+        bits[i] = (seed >> i) & 1
+    return np.packbits(bits)
+
+
+def _byte_shift_right(d: jax.Array, j: int) -> jax.Array:
+    """The MSB-first bit stream of ``d`` shifted right by j bits (zero
+    fill), re-packed per byte -- whole-byte rolls plus one sub-byte shift,
+    no 8x bit expansion."""
+    bs, rs = divmod(j, 8)
+    L = d.shape[-1]
+    pad = [(0, 0)] * (d.ndim - 1)
+
+    def zshift(k):
+        if k == 0:
+            return d
+        if k >= L:
+            return jnp.zeros_like(d)
+        return jnp.pad(d, pad + [(k, 0)])[..., :L]
+
+    if rs == 0:
+        return zshift(bs)
+    hi = zshift(bs + 1) << (8 - rs)
+    lo = zshift(bs) >> rs
+    return hi | lo
+
+
 def descramble_bytes(data: jax.Array, polynomial: int, invert: bool = False,
                      seed: int = 0) -> jax.Array:
     """Descramble a uint8 byte stream (free-running across the whole stream).
@@ -54,10 +86,18 @@ def descramble_bytes(data: jax.Array, polynomial: int, invert: bool = False,
     Matches LFSR.stream_unscramble_8bit (lfsr.py:22-52): MSB-first bit order,
     shift register initialized to ``seed`` (0 for the stream stage,
     0x1F0 for IL2P block unscrambling, il2p.py:161), optional output invert.
+    Computed at byte granularity (each polynomial tap is a whole-byte roll
+    plus a sub-byte shift) -- no 8x bit expansion on the hot path.
     """
-    bits = bytes_to_bits_msb(data)
-    out_bits = descramble_bits(bits, polynomial, seed)
-    out = bits_to_bytes_msb(out_bits)
+    d = data.astype(jnp.uint8)
+    out = jnp.zeros_like(d)
+    for j in poly_tap_positions(polynomial):
+        out = out ^ _byte_shift_right(d, j)
+    if seed:
+        sb = _seed_bytes(seed, d.shape[-1])
+        pad = np.zeros(d.shape[-1], dtype=np.uint8)
+        pad[: sb.shape[0]] = sb
+        out = out ^ jnp.asarray(pad)
     if invert:
         out = out ^ jnp.uint8(0xFF)
     return out

@@ -706,13 +706,15 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
 @partial(jax.jit, static_argnames=("codec_kind", "plan", "max_packets",
                                    "collect_crc", "disable_rs", "min_distance",
                                    "min_packet_length", "max_packet_length",
-                                   "total_candidates", "total_rs_blocks"))
+                                   "total_candidates", "total_rs_blocks",
+                                   "scan_cap"))
 def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
                     max_packets: int = 8, collect_crc: bool = True,
                     disable_rs: bool = False, min_distance: int = 0,
                     min_packet_length: int = 18, max_packet_length: int = 1023,
                     total_candidates: int | None = None,
-                    total_rs_blocks: int | None = None):
+                    total_rs_blocks: int | None = None,
+                    scan_cap: int = 64):
     """On-device codec stage over bank_device_step outputs: (C, B, cap) byte
     streams -> fixed-capacity packet buffers (C, B, max_packets, ...).
 
@@ -733,6 +735,7 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
             disable_rs=disable_rs, min_distance=min_distance,
             total_candidates=total_candidates,
             total_rs_blocks=total_rs_blocks,
+            scan_cap=scan_cap,
         )
     elif codec_kind == "ax25":
         out = ax25_decode_blocks(
@@ -814,37 +817,46 @@ def auto_blocks_per_step(n_chains: int, block_input_len: int, n_blocks: int,
 
 def auto_candidate_budget(sync: np.ndarray) -> int:
     """Size the device codec's global candidate-slot budget from the actual
-    sync-candidate population (packed bitmap), bucketed to powers of two so
+    sync-candidate population (packed bitmap), bucketed ({2^k, 1.5*2^k}, _budget_bucket) so
     distinct budgets (hence compiles) stay rare.  The margin covers
     seeded-history candidates the pure-bit map cannot see; undershoot is
     safe -- saturated blocks carry a ``dropped`` flag and fall back to the
     host FSM."""
     n_cand = int(np.bitwise_count(np.asarray(sync)).sum())
-    need = max(64, int(n_cand * 1.25) + 16)
-    return 1 << (need - 1).bit_length()
+    return _budget_bucket(n_cand)
 
 
 @jax.jit
-def _popcount_sum(sync):
-    return jnp.sum(
-        jax.lax.population_count(sync.astype(jnp.uint8)).astype(jnp.int32)
-    )
+def _popcount_stats(sync):
+    """(total candidates, max candidates in any one block) of a packed
+    (..., cap) sync bitmap."""
+    pc = jax.lax.population_count(sync.astype(jnp.uint8)).astype(jnp.int32)
+    per_block = jnp.sum(pc, axis=-1)
+    return jnp.stack([jnp.sum(per_block), jnp.max(per_block)])
 
 
-def auto_candidate_budget_device(sync) -> int:
-    """auto_candidate_budget for a device-resident bitmap: reads back ONE
-    scalar (the population count reduces on device) instead of the whole
-    (C, B, cap) bitmap -- this readback is also the first sync point after
-    the demod program, so it should carry minimum transfer."""
-    n_cand = int(np.asarray(_popcount_sum(sync)))
-    need = max(64, int(n_cand * 1.25) + 16)
-    return 1 << (need - 1).bit_length()
+def auto_candidate_budget_device(sync) -> tuple[int, int]:
+    """Candidate-slot budget + acceptance-scan cap for a device-resident
+    bitmap: reads back TWO scalars in one transfer (the reductions run on
+    device) instead of the whole (C, B, cap) bitmap -- this readback is
+    also the first sync point after the demod program, so it should carry
+    minimum transfer.  The scan cap is the power-of-two bucket covering the
+    busiest block (the unrolled acceptance scan runs that many sequential
+    steps); blocks beyond 64 fall back to the host FSM via ``dropped``."""
+    total, max_pb = map(int, np.asarray(_popcount_stats(sync)))
+    cap = 8
+    while cap < min(max_pb, 64):
+        cap *= 2
+    return _budget_bucket(total), cap
 
 
 def _budget_bucket(n: int, lo: int = 64) -> int:
-    """Power-of-two bucket >= 1.25*n so distinct budgets (compiles) are rare."""
+    """Bucket >= 1.25*n from {2^k, 1.5*2^k} so distinct budgets (compiles)
+    stay rare while the worst overshoot is 1.5x, not 2x (budget-scaled
+    device work is the codec program's dominant cost)."""
     need = max(lo, int(n * 1.25) + 16)
-    return 1 << (need - 1).bit_length()
+    p = 1 << (need - 1).bit_length()
+    return p - p // 4 if need <= p - p // 4 else p
 
 
 @jax.jit
@@ -867,19 +879,20 @@ COMPACT_META_KEYS = ("address", "length", "chain", "block", "base",
                      "corrected")
 
 
-@partial(jax.jit, static_argnames=("meta_budget", "bytes_budget",
-                                   "len_budget"))
+@partial(jax.jit, static_argnames=("meta_budget", "len_budget"))
 def compact_codec_out(ok, address, length, corrected, packet,
-                      meta_budget: int, bytes_budget: int,
-                      len_budget: int | None = None):
+                      meta_budget: int, len_budget: int | None = None):
     """Dense-pack the codec's fixed (C, B, P, Lmax) packet buffers on device.
 
     Readback of the fixed buffers scales with C*B*P*Lmax (~150 MB for the
     64-chain bench hour); the payloads themselves are ~100x smaller.  Valid
-    rows rank-compact into ``meta_budget`` metadata slots and their bytes
-    flatten into ONE contiguous uint8 stream of ``bytes_budget`` --
-    both budgets bucketed from the exact on-device counts
-    (_codec_out_sizes), so overflow is impossible."""
+    rows rank-compact into ``meta_budget`` metadata slots; their
+    length-masked bytes come back as the compact (meta_budget, len_budget)
+    row matrix -- the host flattens it to the contiguous stream (the
+    on-device windowed scatter that used to build the stream cost ~3
+    us/row on TPU, more than the whole transfer).  Budgets are bucketed
+    from the exact on-device counts (_codec_out_sizes), so overflow is
+    impossible."""
     C, B, Pk = ok.shape
     okf = ok.reshape(-1)
     lenf = jnp.where(okf, length.reshape(-1).astype(jnp.int32), 0)
@@ -917,24 +930,11 @@ def compact_codec_out(ok, address, length, corrected, packet,
         flat_pk = flat_pk[:, :len_budget]
     rows = flat_pk[row_src]  # (M, len_budget) uint8
     j = jnp.arange(rows.shape[-1], dtype=jnp.int32)[None, :]
-    # windowed scatter-add of whole rows at their stream offsets (an
-    # element-indexed scatter here cost ~20 ns/byte on TPU); rows are
-    # masked beyond their length, and row i's zero tail overlapping row
-    # i+1's region adds zero, so add == placement.  The operand carries
-    # Lmax slack so end-of-stream windows never clamp.
-    upd = jnp.where(j < meta_rows[1][:, None], rows, 0)
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1,), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0,),
-    )
-    stream = jax.lax.scatter_add(
-        jnp.zeros((bytes_budget + rows.shape[-1],), jnp.uint8),
-        meta_rows[4][:, None], upd, dnums,
-    )
+    rows = jnp.where(j < meta_rows[1][:, None], rows, 0)
     # ONE stacked int32 metadata array (COMPACT_META_KEYS row order) + the
-    # byte stream: two readbacks instead of seven -- each np.asarray is a
-    # tunnel round trip on the axon backend
-    return {"meta": jnp.stack(meta_rows), "bytes": stream[:bytes_budget]}
+    # compact byte rows: two readbacks instead of seven -- each np.asarray
+    # is a tunnel round trip on the axon backend
+    return {"meta": jnp.stack(meta_rows), "rows": rows}
 
 
 def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
@@ -942,9 +942,10 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
     """Run the on-device codec over bank outputs and build packet objects."""
     from .. import profiling
 
+    scan_cap = 64
     if codec_key[0] == "il2p" and total_candidates is None:
         with profiling.timed("candidate_budget"):
-            total_candidates = auto_candidate_budget_device(sync)
+            total_candidates, scan_cap = auto_candidate_budget_device(sync)
     with profiling.timed("device_codec_step"):
         if codec_key[0] == "il2p":
             out = bank_codec_step(
@@ -959,6 +960,7 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                 # count.  Multi-block-heavy workloads that overflow fall
                 # back per block to the host FSM via ``dropped``.
                 total_rs_blocks=total_candidates,
+                scan_cap=scan_cap,
             )
         else:
             out = bank_codec_step(
@@ -968,7 +970,7 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
                 max_packet_length=codec_key[2],
             )
     with profiling.timed("codec_sizes"):
-        n_ok, total_bytes, max_len = map(
+        n_ok, _total_bytes, max_len = map(
             int, np.asarray(_codec_out_sizes(out["ok"], out["length"]))
         )
     with profiling.timed("device_codec_compact"):
@@ -978,17 +980,22 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
         )
         comp = compact_codec_out(
             out["ok"], out["address"], out["length"], out.get("corrected"),
-            out["packet"], _budget_bucket(n_ok),
-            _budget_bucket(total_bytes, lo=4096), len_budget,
+            out["packet"], _budget_bucket(n_ok), len_budget,
         )
     with profiling.timed("device_codec_transfer"):
-        stream = comp["bytes"]
+        rows_d = comp["rows"]
         meta = np.asarray(comp["meta"])
         comp = dict(zip(COMPACT_META_KEYS, meta))
-        comp["bytes"] = np.asarray(stream)
+        rows_np = np.asarray(rows_d)
         dropped = (
             np.asarray(out["dropped"]) if "dropped" in out else None
         )
+    # flatten the length-masked rows to the contiguous byte stream the
+    # packet builder slices with meta's ``base`` offsets (vectorized numpy;
+    # meta slots are rank-ordered, so row order == stream order)
+    comp["bytes"] = rows_np[
+        np.arange(rows_np.shape[-1])[None, :] < comp["length"][:, None]
+    ]
     return packets_from_compact(
         bank, plan, comp, n_ok, dropped, data, addr, count, sync
     )
