@@ -76,6 +76,23 @@ def fir_valid(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
     return fir_valid_nd(x, taps, "fft")
 
 
+def _conv_precision():
+    """MXU pass count for the f32 Toeplitz conv: HIGHEST (6-pass bf16,
+    exact-f32-equivalent) by default -- the TPU's reduced-precision f32
+    matmul passes flip bit-marginal slicer decisions in noise.  HIGH
+    (3 passes, ~2x faster) is selectable for throughput experiments via
+    PYMODEM_TPU_CONV_PRECISION=high; packet-set parity on the bundled
+    fixture must be re-verified whenever it is used."""
+    import os
+
+    lvl = os.environ.get("PYMODEM_TPU_CONV_PRECISION", "highest").lower()
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[lvl]
+
+
 def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Array:
     """'valid' convolution over the last axis of a batched signal.
 
@@ -159,10 +176,8 @@ def _matmul_conv(x: jax.Array, taps: jax.Array) -> jax.Array:
         jnp.take(taps, jnp.clip(tap_idx, 0, t - 1), axis=-1),
         0.0,
     )  # (K, TILE)
-    # HIGHEST: TPU f32 matmuls otherwise run reduced-precision passes,
-    # which flips bit-marginal slicer decisions in noise
     y = jnp.matmul(frames, band, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_conv_precision())
     return y.reshape(*x.shape[:-1], n_tiles * _MM_TILE)[..., :nout].astype(x.dtype)
 
 
@@ -179,7 +194,16 @@ def fir_valid_multi(x: jax.Array, taps_stack: jax.Array,
     """
     k, t = taps_stack.shape
     if method == "auto":
-        method = "direct" if x.dtype == jnp.float64 else "matmul"
+        if x.dtype == jnp.float64:
+            method = "direct"
+        elif t <= 32:
+            # short taps (the 7-8 tap AFSK tone correlators): the banded
+            # matmul pads the band to a 128-wide tile, ~17x the FLOPs of
+            # t shift-multiply-adds -- measured 0.7 s vs 0.1 s on the
+            # 64-chain bench hour
+            method = "shift"
+        else:
+            method = "matmul"
     if method == "matmul":
         # one matmul for all K tap sets: shared frames, bands side by side
         t_ = taps_stack.shape[-1]
@@ -206,7 +230,7 @@ def fir_valid_multi(x: jax.Array, taps_stack: jax.Array,
         )  # (K_sets, k_len, TILE)
         band = jnp.concatenate([bands[i] for i in range(k)], axis=-1)
         y = jnp.matmul(frames, band, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_conv_precision())
         # (..., n_tiles, K_sets*TILE) -> (K_sets, ..., nout)
         y = y.reshape(*x.shape[:-1], n_tiles, k, _MM_TILE)
         y = jnp.moveaxis(y, -2, 0)
