@@ -30,7 +30,8 @@ _BIN_PARAMS = ("sps", "lock_rate")
 
 
 def _binary_kernel(params_ref, x_ref, out_ref, fstate_ref, istate_ref, *,
-                   tc: int, rt: int, groups: int):
+                   tc: int, rt: int, groups: int, window: int = 1,
+                   t_total: int | None = None):
     from jax.experimental import pallas as pl
 
     t_idx = pl.program_id(1)
@@ -52,7 +53,7 @@ def _binary_kernel(params_ref, x_ref, out_ref, fstate_ref, istate_ref, *,
 
     def step_group(t, carry, g):
         # slicer.py:59-107 decision logic, op-for-op as binary_slice
-        clock, last, byte, bit_count = carry
+        clock, last, byte, bit_count = carry[:4]
         sps = pg(0, g)
         rollover = sps / 2.0 - 0.5
         clock = clock + 1.0
@@ -66,8 +67,22 @@ def _binary_kernel(params_ref, x_ref, out_ref, fstate_ref, istate_ref, *,
         bit_count = jnp.where(emit, 0, bit_count)
         crossing = ((last < 0.0) & (x_t >= 0.0)) | ((last >= 0.0) & (x_t < 0.0))
         clock = jnp.where(crossing, clock * pg(1, g), clock)
-        out_ref[sl[g], t, :] = jnp.where(emit, 0x100 | byte, 0)
-        return (clock, x_t, byte, bit_count)
+        if window == 1:
+            out_ref[sl[g], t, :] = jnp.where(emit, 0x100 | byte, 0)
+            return (clock, x_t, byte, bit_count)
+        # windowed emission: at most one byte per ``window`` samples
+        # (safe_compact_window), so the window's encoded value is the OR
+        # of its per-sample encodings, with the in-window position in
+        # bits 16+.  Samples past the real stream end (zero padding would
+        # otherwise keep emitting) are masked here, at the only place the
+        # global time is known.
+        in_range = (t_idx * tc + t) < t_total
+        enc = jnp.where(emit & in_range,
+                        ((t % window) << 16) | 0x100 | byte, 0)
+        acc = jnp.where(t % window == 0, jnp.zeros_like(carry[4]), carry[4])
+        acc = acc | enc
+        out_ref[sl[g], t // window, :] = acc
+        return (clock, x_t, byte, bit_count, acc)
 
     def step(t, carries):
         return tuple(step_group(t, carries[g], g) for g in range(groups))
@@ -75,6 +90,7 @@ def _binary_kernel(params_ref, x_ref, out_ref, fstate_ref, istate_ref, *,
     carries = tuple(
         (fstate_ref[0, sl[g], :], fstate_ref[1, sl[g], :],
          istate_ref[0, sl[g], :], istate_ref[1, sl[g], :])
+        + ((istate_ref[1, sl[g], :] * 0,) if window > 1 else ())
         for g in range(groups)
     )
     carries = jax.lax.fori_loop(0, tc, step, carries)
@@ -85,15 +101,25 @@ def _binary_kernel(params_ref, x_ref, out_ref, fstate_ref, istate_ref, *,
         istate_ref[1, sl[g], :] = carries[g][3]
 
 
-@partial(jax.jit, static_argnames=("tc", "rt", "groups"))
+@partial(jax.jit, static_argnames=("tc", "rt", "groups", "window"))
 def binary_slice_lanes_pallas(x: jax.Array, lane_params: jax.Array,
                               tc: int | None = None, rt: int | None = None,
-                              groups: int = 2) -> jax.Array:
-    """Binary-slice (L, T) float32 lanes -> (L, T) int32 encoded emissions.
+                              groups: int = 2, window: int = 1) -> jax.Array:
+    """Binary-slice (L, T) float32 lanes -> int32 encoded emissions.
 
-    lane_params: (2, L) float32 rows (sps, lock_rate).  An element is
-    ``0x100 | byte`` on the sample that completed a byte, else 0 --
-    decode with ``decode_emissions``.
+    lane_params: (2, L) float32 rows (sps, lock_rate).
+
+    window=1: (L, T) output; an element is ``0x100 | byte`` on the sample
+    that completed a byte, else 0 -- decode with ``decode_emissions``.
+
+    window=w>1 (w a power of two dividing the time chunk, and safe per
+    ops/slicers.safe_compact_window): (L, ceil(T/w)) output; each element
+    encodes the window's single emission as
+    ``(pos_in_window << 16) | 0x100 | byte`` (0 = none) -- feed to
+    ops/slicers.compact_windowed.  This moves the 1-per-w windowed
+    reduction INTO the kernel, shrinking the emission readback and the
+    post-kernel traffic by w (the XLA windowed reduce over the dense
+    (L, T) int32 output dominated the AFSK bank demod).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -105,6 +131,13 @@ def binary_slice_lanes_pallas(x: jax.Array, lane_params: jax.Array,
         a_rt, a_tc = auto_tile(L)
         rt = a_rt if rt is None else rt
         tc = a_tc if tc is None else tc
+    if window > 1:
+        assert window & (window - 1) == 0, window
+        # the out block's second-to-last dim (tc/window) must be >= 8 for
+        # the Mosaic lowering; windows never straddle time chunks, and rt
+        # shrinks to keep the rt*tc VMEM tile within the scoped budget
+        tc = max(tc - tc % window, 8 * window)
+        rt = max(8, min(rt, (4096 // tc) // 8 * 8 or 8))
     # group slabs must stay (8k, 128)-shaped: fall back to 1 when the
     # (possibly auto-chosen) rt can't split into groups of 8-row multiples
     if rt % groups or (rt // groups) % 8:
@@ -120,8 +153,10 @@ def binary_slice_lanes_pallas(x: jax.Array, lane_params: jax.Array,
     pr = pp.reshape(2, R, LANE)
 
     assert rt % groups == 0 and (rt // groups) % 8 == 0, (rt, groups)
+    t_out = Tp // window
     out = pl.pallas_call(
-        partial(_binary_kernel, tc=tc, rt=rt, groups=groups),
+        partial(_binary_kernel, tc=tc, rt=rt, groups=groups, window=window,
+                t_total=T),
         grid=(R // rt, Tp // tc),
         in_specs=[
             pl.BlockSpec((2, rt, LANE), lambda r, t: (0, r, 0),
@@ -129,9 +164,10 @@ def binary_slice_lanes_pallas(x: jax.Array, lane_params: jax.Array,
             pl.BlockSpec((rt, tc, LANE), lambda r, t: (r, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rt, tc, LANE), lambda r, t: (r, t, 0),
+        out_specs=pl.BlockSpec((rt, tc // window, LANE),
+                               lambda r, t: (r, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, Tp, LANE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((R, t_out, LANE), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, rt, LANE), jnp.float32),
             pltpu.VMEM((2, rt, LANE), jnp.int32),
@@ -139,7 +175,8 @@ def binary_slice_lanes_pallas(x: jax.Array, lane_params: jax.Array,
         interpret=jax.default_backend() != "tpu",
     )(pr, xr)
 
-    return out.transpose(0, 2, 1).reshape(Lp, Tp)[:L, :T]
+    n_keep = T if window == 1 else -(-T // window)
+    return out.transpose(0, 2, 1).reshape(Lp, t_out)[:L, :n_keep]
 
 
 def decode_emissions(enc: jax.Array):

@@ -69,6 +69,26 @@ def compact_bytes(out: SlicerOut, capacity: int, window: int = 1):
     return data, addr, count
 
 
+def compact_windowed(enc: jax.Array, window: int, capacity: int):
+    """compact_bytes for kernel-windowed emissions (ops/pallas_slicers.py
+    binary_slice_lanes_pallas window>1): enc (NW,) int32 encodes each
+    window's single emission as ``(pos_in_window << 16) | 0x100 | byte``
+    (0 = none).  Produces the same dense (bytes, addresses, count) arrays
+    as compact_bytes on the dense emission stream."""
+    valid = (enc & 0x100) != 0
+    byte = (enc & 0xFF).astype(jnp.int32)
+    poff = (enc >> 16).astype(jnp.int32)
+    base = jnp.arange(enc.shape[-1], dtype=jnp.int32) * window
+    address = base + poff + 1
+    idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    pos = jnp.where(valid, idx, capacity)
+    data = jnp.zeros((capacity,), jnp.int32).at[pos].add(byte, mode="drop")
+    addr = jnp.zeros((capacity,), jnp.int32).at[pos].add(
+        jnp.where(valid, address, 0), mode="drop")
+    count = jnp.sum(valid.astype(jnp.int32))
+    return data, addr, count
+
+
 def safe_compact_window(samples_per_symbol: float, lock_rate: float,
                         bits_per_symbol: int) -> int:
     """Largest power-of-two window guaranteed to hold at most one byte

@@ -593,7 +593,7 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
             binary_slice_lanes_pallas,
             decode_emissions,
         )
-        from ..ops.slicers import SlicerOut
+        from ..ops.slicers import SlicerOut, compact_windowed
 
         if kind in ("afsk_pll", "bpsk", "qpsk", "mpsk"):
             basebands = coherent_bank_demod_pallas(kind, params, blocks,
@@ -610,6 +610,17 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
                 jnp.asarray(params["lock_rate"], jnp.float32).reshape(C), B
             ),
         ])
+        if compact_window > 1:
+            # the 1-emission-per-window reduction runs inside the kernel:
+            # the emission stream leaves at window granularity
+            enc = binary_slice_lanes_pallas(
+                basebands.reshape(C * B, L2), lane_params,
+                window=compact_window,
+            ).reshape(C, B, -1)
+            data, addr, count = jax.vmap(jax.vmap(
+                lambda e: compact_windowed(e, compact_window, capacity)
+            ))(enc)
+            return jax.vmap(post_slicer)(data, addr, count)
         enc = binary_slice_lanes_pallas(
             basebands.reshape(C * B, L2), lane_params
         ).reshape(C, B, L2)

@@ -268,3 +268,35 @@ def test_pallas_binary_slicer_matches_scan(rng):
         v = np.asarray(want.valid)
         np.testing.assert_array_equal(np.asarray(got.byte[lane])[v],
                                       np.asarray(want.byte)[v])
+
+
+def test_windowed_slicer_kernel_matches_dense(rng):
+    """window>1 kernel emission == dense kernel + compact_bytes windowing
+    (ops/pallas_slicers.py windowed path; ops/slicers.compact_windowed)."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.ops.pallas_slicers import (
+        binary_slice_lanes_pallas,
+        decode_emissions,
+    )
+    from pymodem_tpu.ops.slicers import (
+        SlicerOut,
+        compact_bytes,
+        compact_windowed,
+    )
+
+    lanes, T, w, cap = 4, 5000, 64, 64
+    x = jnp.asarray(rng.normal(size=(lanes, T)).astype(np.float32))
+    lp = jnp.stack([jnp.full((lanes,), 26.667, jnp.float32),
+                    jnp.full((lanes,), 0.75, jnp.float32)])
+    dense = binary_slice_lanes_pallas(x, lp)
+    valid, byte = decode_emissions(dense)
+    want = [compact_bytes(SlicerOut(valid[i], byte[i]), cap, w)
+            for i in range(lanes)]
+    encw = binary_slice_lanes_pallas(x, lp, window=w)
+    assert encw.shape == (lanes, -(-T // w))
+    got = [compact_windowed(encw[i], w, cap) for i in range(lanes)]
+    for (wd, wa, wc), (gd, ga, gc) in zip(want, got):
+        assert int(wc) == int(gc) and int(wc) > 0
+        assert np.array_equal(np.asarray(wd), np.asarray(gd))
+        assert np.array_equal(np.asarray(wa), np.asarray(ga))
