@@ -71,6 +71,17 @@ def main() -> int:
     rows.append(("slicer scan + windowed compaction", samples / dt / 1e9,
                  "Gsamples/s", f"{C * B} lanes"))
 
+    from pymodem_tpu.ops.pallas_slicers import binary_slice_lanes_pallas
+    from pymodem_tpu.ops.slicers import compact_windowed
+
+    slp = jnp.stack([jnp.full((C * B,), 26.667, jnp.float32),
+                     jnp.full((C * B,), 0.75, jnp.float32)])
+    dt = timed(jax.jit(lambda v: jax.vmap(
+        lambda e: compact_windowed(e, 64, 1032)[0]
+    )(binary_slice_lanes_pallas(v.reshape(C * B, N), slp, window=64))), x)
+    rows.append(("Pallas slicer lanes (windowed emit)", samples / dt / 1e9,
+                 "Gsamples/s", f"{C * B} lanes"))
+
     agc = lambda r: agc_apply(r, jnp.float32(0.0625), jnp.float32(0.00625),
                               jnp.float32(1.0), jnp.float32(1 / 8000),
                               jnp.float32(1.0), normal=jnp.float32(3.0))
