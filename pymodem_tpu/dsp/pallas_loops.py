@@ -208,6 +208,8 @@ def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # the kernels ARE the f32 accelerator path
     L, T = x.shape
     if rt is None or tc is None:
         a_rt, a_tc = auto_tile(L)
@@ -252,7 +254,7 @@ def loop_lanes_pallas(x: jax.Array, lane_params: jax.Array, kind: str,
         interpret=jax.default_backend() != "tpu",
     )(pr, xr)
 
-    return out.transpose(0, 2, 1).reshape(Lp, Tp)[:L, :T]
+    return out.transpose(0, 2, 1).reshape(Lp, Tp)[:L, :T].astype(in_dtype)
 
 
 def _iq_loop_kernel(*refs, tc: int, kind: str, wavetable_size: int, rt: int,
@@ -417,6 +419,8 @@ def iq_loop_lanes_pallas(xs, lane_params: jax.Array, kind: str,
     from jax.experimental.pallas import tpu as pltpu
 
     xs = (xs,) if not isinstance(xs, (tuple, list)) else tuple(xs)
+    in_dtype = xs[0].dtype
+    xs = tuple(x.astype(jnp.float32) for x in xs)  # f32 accelerator path
     n_in = len(xs)
     assert n_in == (2 if kind == "mpsk" else 1), (kind, n_in)
     L, T = xs[0].shape
@@ -463,7 +467,7 @@ def iq_loop_lanes_pallas(xs, lane_params: jax.Array, kind: str,
     )(pr, *xrs)
 
     def unpack(o):
-        return o.transpose(0, 2, 1).reshape(Lp, Tp)[:L, :T]
+        return o.transpose(0, 2, 1).reshape(Lp, Tp)[:L, :T].astype(in_dtype)
 
     return unpack(out_i), unpack(out_q)
 

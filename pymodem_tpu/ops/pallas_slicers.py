@@ -124,6 +124,7 @@ def binary_slice_lanes_pallas(x: jax.Array, lane_params: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    x = x.astype(jnp.float32)  # the kernel is the f32 accelerator path
     L, T = x.shape
     if rt is None or tc is None:
         from ..dsp.pallas_loops import auto_tile

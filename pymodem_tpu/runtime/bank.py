@@ -311,9 +311,13 @@ def _loop_from(d):
 
 
 def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
-                 unroll: int):
+                 unroll: int, normal_fn=None):
     """Demodulate (B, Lin) input blocks for ONE chain -> (B, Lout) baseband
-    (or an (i, q) pair).  Mirrors modems.demod stage order per family."""
+    (or an (i, q) pair).  Mirrors modems.demod stage order per family.
+
+    ``normal_fn`` maps the shard-local AGC max to the whole-recording max
+    (identity on one device; ``lax.pmax`` over the time axis under
+    shard_map -- the reference's non-causal agc.py:67 pre-pass)."""
     m = params["modem"]
     if kind == "afsk":
         x = fir_valid_nd(blocks, m["input_bpf"], method)
@@ -326,6 +330,8 @@ def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
     # coherent families: BPF -> AGC (global max across blocks) -> loop
     x = fir_valid_nd(blocks, m["input_bpf"], method)
     normal = jnp.max(x)  # whole-recording signed max (agc.py:67)
+    if normal_fn is not None:
+        normal = normal_fn(normal)
     x = _agc_blocks(x, m["agc"], unroll, normal)
     if kind == "afsk_pll":
         demod = jax.vmap(lambda row: afsk_pll(row, _loop_from(params), unroll=unroll))(x)
@@ -382,7 +388,7 @@ def _pallas_loop_wanted(dtype) -> bool:
 
 
 def coherent_bank_demod_pallas(kind: str, params, blocks: jax.Array,
-                               method: str, unroll: int):
+                               method: str, unroll: int, normal_fn=None):
     """Bank-level coherent demod with the Pallas loop engine.
 
     params: C-stacked chain pytree; blocks: (B, Lin).  FIR stages stay
@@ -406,8 +412,11 @@ def coherent_bank_demod_pallas(kind: str, params, blocks: jax.Array,
         m["input_bpf"]
     )  # (C, B, L1)
     # per-chain whole-recording max (agc.py:67), as in demod_blocks; the
-    # AGC follower itself runs in a Pallas lane kernel
+    # AGC follower itself runs in a Pallas lane kernel.  normal_fn turns
+    # the shard-local max into the global one under shard_map.
     normals = jnp.max(x, axis=(1, 2))
+    if normal_fn is not None:
+        normals = normal_fn(normals)
     C, B, L1 = x.shape
     loop = LoopParams(**params["loop"])
     base_rows = lane_params_from_loop(loop, C, B)
@@ -530,13 +539,14 @@ def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "plan", "capacity",
                                    "poly", "invert", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
-                                   "method", "unroll", "compact_window"))
+                                   "method", "unroll", "compact_window",
+                                   "pallas"))
 def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
                      plan: BlockPlan, capacity: int, poly: int, invert: bool,
                      slicer_static_mask: int, slicer_static_bps: int,
                      sync_tolerance: int = 0,
                      method: str = "auto", unroll: int = 8,
-                     compact_window: int = 1):
+                     compact_window: int = 1, pallas: bool | None = None):
     """One bank's full device program: audio (n,) -> per-chain packets' raw
     material (C, B, cap) bytes + addresses + counts + packed IL2P syncword
     candidate map (C, B, cap) uint8.
@@ -550,7 +560,7 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
     return bank_device_step_frames(
         kind, slicer_kind, params, blocks, capacity, poly, invert,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,
-        unroll, compact_window,
+        unroll, compact_window, pallas=pallas,
     )
 
 
@@ -558,7 +568,8 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
                          blocks: jax.Array, capacity: int, poly: int,
                          invert: bool, slicer_static_mask: int,
                          slicer_static_bps: int, sync_tolerance: int,
-                         method: str, unroll: int, compact_window: int):
+                         method: str, unroll: int, compact_window: int,
+                         normal_fn=None, pallas: bool | None = None):
     """Traced body shared by the jitted bank-step entry points: (B, Lin)
     frames -> per-chain (C, B, cap) bytes/addresses/counts/sync bitmap.
     Byte streams leave as uint8 (4x smaller host transfers than the
@@ -584,7 +595,8 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
         sync = il2p_sync_candidates(data, sync_tolerance)
         return data, addr, count, pack_bits(sync)
 
-    pallas = _pallas_loop_wanted(blocks.dtype)
+    if pallas is None:
+        pallas = _pallas_loop_wanted(blocks.dtype)
     if pallas and slicer_kind == "binary":
         # bank-level path: demod to (C, B, L2) basebands, then ONE Pallas
         # slicer kernel over all C*B lanes (ops/pallas_slicers.py) instead
@@ -597,11 +609,11 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
 
         if kind in ("afsk_pll", "bpsk", "qpsk", "mpsk"):
             basebands = coherent_bank_demod_pallas(kind, params, blocks,
-                                                   method, unroll)
+                                                   method, unroll, normal_fn)
         else:
             basebands = jax.vmap(
                 lambda cp: demod_blocks(kind, dict(cp), blocks, method,
-                                        unroll)
+                                        unroll, normal_fn)
             )(params)
         C, B, L2 = basebands.shape
         lane_params = jnp.stack([
@@ -633,12 +645,12 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
 
     if kind in ("afsk_pll", "bpsk", "qpsk", "mpsk") and pallas:
         basebands = coherent_bank_demod_pallas(kind, params, blocks, method,
-                                               unroll)
+                                               unroll, normal_fn)
         return jax.vmap(tail_stages)(params, basebands)
 
     def one_chain(chain_params):
         baseband = demod_blocks(kind, dict(chain_params), blocks, method,
-                                unroll)
+                                unroll, normal_fn)
         return tail_stages(chain_params, baseband)
 
     return jax.vmap(one_chain)(params)
@@ -647,19 +659,26 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "poly",
                                    "invert", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
-                                   "method", "unroll", "compact_window"))
+                                   "method", "unroll", "compact_window",
+                                   "pallas"))
 def bank_device_step_frames(kind: str, slicer_kind: str, params,
                             blocks: jax.Array, capacity: int, poly: int,
                             invert: bool, slicer_static_mask: int,
                             slicer_static_bps: int, sync_tolerance: int = 0,
                             method: str = "auto", unroll: int = 8,
-                            compact_window: int = 1):
+                            compact_window: int = 1,
+                            pallas: bool | None = None):
     """bank_device_step on pre-framed (B, Lin) blocks -- the streaming entry
-    point, where the host carries the overlap+trim tail between feeds."""
+    point, where the host carries the overlap+trim tail between feeds.
+
+    ``pallas`` (engine choice) is a static arg so it is part of the jit
+    cache key -- resolved from the environment by callers OUTSIDE the
+    trace (None here falls back to resolving it at trace time, which is
+    only correct if the environment never changes mid-process)."""
     return _bank_frames_compute(
         kind, slicer_kind, params, blocks, capacity, poly, invert,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,
-        unroll, compact_window,
+        unroll, compact_window, pallas=pallas,
     )
 
 
@@ -667,14 +686,14 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
                                    "capacity", "poly", "invert",
                                    "slicer_static_mask", "slicer_static_bps",
                                    "sync_tolerance", "method", "unroll",
-                                   "compact_window", "dtype"))
+                                   "compact_window", "dtype", "pallas"))
 def bank_device_step_grouped(kind: str, slicer_kind: str, params,
                              audio: jax.Array, plan: BlockPlan, group: int,
                              capacity: int, poly: int, invert: bool,
                              slicer_static_mask: int, slicer_static_bps: int,
                              sync_tolerance: int = 0, method: str = "auto",
                              unroll: int = 8, compact_window: int = 1,
-                             dtype=jnp.float32):
+                             dtype=jnp.float32, pallas: bool | None = None):
     """bank_device_step for long recordings: ONE device program that
     `lax.map`s the bank pipeline over fixed-size block groups.
 
@@ -699,7 +718,7 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
         return _bank_frames_compute(
             kind, slicer_kind, params, frames, capacity, poly, invert,
             slicer_static_mask, slicer_static_bps, sync_tolerance, method,
-            unroll, compact_window,
+            unroll, compact_window, pallas=pallas,
         )
 
     starts = jnp.arange(n_groups, dtype=jnp.int32) * (g * plan.block_len)
@@ -1159,13 +1178,14 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
     fixed-shape block groups (bank_device_step_grouped) -- a single native
     -dtype audio upload, HBM bounded by group size.  Returns DEVICE arrays;
     callers decide what (if anything) to read back."""
+    pallas = _pallas_loop_wanted(dtype)
     if max_blocks_per_step is None or plan.n_blocks <= max_blocks_per_step:
         return bank_device_step(
             bank.kind, bank.slicer_kind, bank.params,
             jnp.asarray(audio, dtype), plan, cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method,
-            unroll, st["compact_window"],
+            unroll, st["compact_window"], pallas,
         )
     # keep the wire dtype: int16 WAV uploads as int16; frames convert on
     # device (int16 -> f32/f64 is exact, so decisions are unchanged).  Audio
@@ -1184,7 +1204,7 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
         jnp.asarray(wire), plan, max_blocks_per_step, cap,
         bank.stream_poly, bank.stream_invert,
         st["state_mask"], st["bits_per_symbol"], sync_tol, method,
-        unroll, st["compact_window"], dtype,
+        unroll, st["compact_window"], dtype, pallas,
     )
 
 

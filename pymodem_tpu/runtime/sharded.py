@@ -32,15 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from . import bank as bank_mod
-from .bank import (
-    BlockPlan,
-    _slicer_static,
-    bank_capacity,
-    demod_blocks,
-    pack_bits,
-    slice_blocks,
-)
-from ..ops.lfsr import descramble_bytes
+from .bank import BlockPlan, _slicer_static, bank_capacity
 
 
 def make_mesh(n_chain: int, n_time: int, devices=None) -> Mesh:
@@ -48,68 +40,6 @@ def make_mesh(n_chain: int, n_time: int, devices=None) -> Mesh:
     assert devices.size >= n_chain * n_time, (devices.size, n_chain, n_time)
     grid = devices[: n_chain * n_time].reshape(n_chain, n_time)
     return Mesh(grid, axis_names=("chain", "time"))
-
-
-def _shard_demod_blocks(kind, chain_params, blocks, method, unroll):
-    """demod_blocks with the AGC whole-recording max turned into a global
-    collective over the time axis (runs inside shard_map)."""
-    if kind in ("afsk", "fsk"):
-        return demod_blocks(kind, chain_params, blocks, method, unroll)
-    # Coherent families: replicate demod_blocks' structure with the global
-    # max collected across time shards before the AGC scan.
-    from ..dsp.fir import fir_valid_nd
-    from ..dsp.loops import (
-        MPSKLoopParams,
-        QPSKLoopParams,
-        afsk_pll,
-        bpsk_costas,
-        mpsk_loop,
-        qpsk_costas,
-    )
-
-    m = chain_params["modem"]
-    x = fir_valid_nd(blocks, m["input_bpf"], method)
-    normal = jax.lax.pmax(jnp.max(x), "time")  # agc.py:67, now a collective
-    x = bank_mod._agc_blocks(x, m["agc"], unroll, normal)
-    if kind == "afsk_pll":
-        demod = jax.vmap(
-            lambda row: afsk_pll(row, bank_mod._loop_from(chain_params), unroll=unroll)
-        )(x)
-        return fir_valid_nd(demod, m["output_lpf"], method)
-    if kind == "bpsk":
-        demod = jax.vmap(
-            lambda row: bpsk_costas(row, bank_mod._loop_from(chain_params), unroll=unroll)
-        )(x)
-        return fir_valid_nd(demod, m["rrc"], method)
-    if kind == "qpsk":
-        loop = QPSKLoopParams(
-            base=bank_mod._loop_from(chain_params),
-            branch_b0=chain_params["branch_b0"],
-            branch_a1=chain_params["branch_a1"],
-        )
-        i_data, q_data = jax.vmap(lambda row: qpsk_costas(row, loop, unroll=unroll))(x)
-        return (
-            fir_valid_nd(i_data, m["rrc"], method),
-            fir_valid_nd(q_data, m["rrc"], method),
-        )
-    if kind == "mpsk":
-        imag = fir_valid_nd(x, m["hilbert"], method)
-        delay = (m["hilbert"].shape[-1] - 1) // 2
-        real = x[..., delay:-delay] if delay else x
-        loop = MPSKLoopParams(
-            base=bank_mod._loop_from(chain_params),
-            pd_table=m["pd_table"],
-            pd_granularity=chain_params["pd_granularity"],
-            pd_gain=chain_params["pd_gain"],
-        )
-        i_data, q_data = jax.vmap(
-            lambda re, im: mpsk_loop(re, im, loop, unroll=unroll)
-        )(real, imag)
-        return (
-            fir_valid_nd(i_data, m["rrc"], method),
-            fir_valid_nd(q_data, m["rrc"], method),
-        )
-    raise ValueError(kind)
 
 
 def gather_to_host(x) -> np.ndarray:
@@ -160,26 +90,21 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
     n_time = mesh.shape["time"]
     assert frames.shape[0] % n_time == 0, (frames.shape, n_time)
 
+    pallas = bank_mod._pallas_loop_wanted(frames.dtype)
+
     def shard_fn(shard_params, blocks):
-        def one_chain(chain_params):
-            chain_params = dict(chain_params)
-            chain_params["slicer_static"] = {
-                "state_mask": slicer_static_mask,
-                "bits_per_symbol": slicer_static_bps,
-            }
-            baseband = _shard_demod_blocks(kind, chain_params, blocks, method, unroll)
-            data, addr, count = slice_blocks(
-                slicer_kind, chain_params, baseband, capacity, unroll,
-                compact_window,
-            )
-            if poly not in (0, 1) or invert:
-                data = descramble_bytes(data.astype(jnp.uint8), poly, invert)
-            from ..ops.sync import il2p_sync_candidates
-
-            sync = il2p_sync_candidates(data.astype(jnp.uint8), sync_tolerance)
-            return data, addr, count, pack_bits(sync)
-
-        return jax.vmap(one_chain)(shard_params)
+        # The per-shard program IS the single-device bank program
+        # (bank.py _bank_frames_compute -- Pallas loop/slicer kernels on
+        # TPU, scan engines elsewhere; the engine choice resolves OUTSIDE
+        # the trace so it keys the jit cache); the one cross-shard
+        # dependency, the AGC whole-recording max (agc.py:67), enters as
+        # a pmax collective over the time axis via normal_fn.
+        return bank_mod._bank_frames_compute(
+            kind, slicer_kind, shard_params, blocks, capacity, poly,
+            invert, slicer_static_mask, slicer_static_bps, sync_tolerance,
+            method, unroll, compact_window,
+            normal_fn=lambda n: jax.lax.pmax(n, "time"), pallas=pallas,
+        )
 
     from jax import shard_map
 

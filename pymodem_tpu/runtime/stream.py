@@ -137,6 +137,8 @@ class StreamDecoder:
             frames = np.concatenate(
                 [frames, np.zeros((pad, frames.shape[1]))], axis=0
             )
+        from .bank import _pallas_loop_wanted
+
         data, addr, count, sync = bank_device_step_frames(
             state.bank.kind, state.bank.slicer_kind, state.bank.params,
             jnp.asarray(frames, self.dtype), state.capacity,
@@ -144,6 +146,7 @@ class StreamDecoder:
             state.static["state_mask"], state.static["bits_per_symbol"],
             state.sync_tol, self.method, self.unroll,
             state.static["compact_window"],
+            pallas=_pallas_loop_wanted(self.dtype),
         )
         data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
         n_demod_total = self._total - state.plan.trim

@@ -164,3 +164,35 @@ def test_sharded_device_codec_matches(fixture_audio, sweep_chains):
         assert a == b
         total += len(b)
     assert total > 0
+
+
+def test_pll_sharded_pallas_engine(fixture_audio, monkeypatch):
+    """The per-shard program is the bank program: with the Pallas engines
+    forced (interpreter mode on CPU), the sharded PLL decode still matches
+    the single-device scan decode -- exercises the Pallas loop + windowed
+    slicer kernels inside shard_map with the pmax normal collective."""
+    import os
+
+    if not os.path.exists(CONFIG):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(CONFIG, rate)
+    base = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc PLL inverted"][0]
+    chains = [replace(base, name="pll0")]
+    audio = audio[: rate * 40]
+    single = run_banked(chains, audio)
+
+    monkeypatch.setenv("PYMODEM_TPU_LOOP_ENGINE", "pallas")
+    mesh = make_mesh(1, 2)
+    sharded = run_banked_sharded(chains, audio, mesh)
+    # the kernels compute in f32 while the scan reference here runs f64:
+    # decisions match, but block-boundary byte phase may shift a packet's
+    # address within the documented <= 16*sps dedup window (CLAUDE.md
+    # architecture invariants)
+    tol = 16 * 8000 / 300
+    for name in single:
+        a = [(p.streamaddress, list(p.data)) for p in single[name]]
+        b = [(p.streamaddress, list(p.data)) for p in sharded[name]]
+        assert len(a) == len(b) and a
+        for (aa, da), (ab, db) in zip(a, b):
+            assert da == db and abs(aa - ab) <= tol
