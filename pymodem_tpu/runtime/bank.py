@@ -909,9 +909,18 @@ COMPACT_META_KEYS = ("address", "length", "chain", "block", "base",
                      "corrected")
 
 
+def _le_bytes(x):
+    """int32 array -> flat little-endian uint8 view (portable byte
+    decomposition; host reassembles with ndarray.view('<i4'))."""
+    x = x.astype(jnp.int32)
+    b = jnp.stack([(x >> (8 * k)) & 0xFF for k in range(4)], axis=-1)
+    return b.astype(jnp.uint8).reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("meta_budget", "len_budget"))
 def compact_codec_out(ok, address, length, corrected, packet,
-                      meta_budget: int, len_budget: int | None = None):
+                      meta_budget: int, len_budget: int | None = None,
+                      dropped=None):
     """Dense-pack the codec's fixed (C, B, P, Lmax) packet buffers on device.
 
     Readback of the fixed buffers scales with C*B*P*Lmax (~150 MB for the
@@ -961,10 +970,84 @@ def compact_codec_out(ok, address, length, corrected, packet,
     rows = flat_pk[row_src]  # (M, len_budget) uint8
     j = jnp.arange(rows.shape[-1], dtype=jnp.int32)[None, :]
     rows = jnp.where(j < meta_rows[1][:, None], rows, 0)
-    # ONE stacked int32 metadata array (COMPACT_META_KEYS row order) + the
-    # compact byte rows: two readbacks instead of seven -- each np.asarray
-    # is a tunnel round trip on the axon backend
-    return {"meta": jnp.stack(meta_rows), "rows": rows}
+    # ONE flat uint8 buffer: the exact output sizes (so callers running on
+    # CACHED budgets can verify n_ok <= meta_budget / max_len <= len_budget
+    # from the same transfer), the stacked int32 metadata (COMPACT_META_KEYS
+    # row order) as little-endian bytes, the codec's per-block ``dropped``
+    # counts, then the compact byte rows -- a single readback instead of
+    # three, because each np.asarray is a ~31 ms tunnel round trip on the
+    # axon backend and the host can split by the static budget sizes.
+    parts = [_le_bytes(_codec_out_sizes(ok, length)),
+             _le_bytes(jnp.stack(meta_rows))]
+    if dropped is not None:
+        parts.append(_le_bytes(dropped))
+    parts.append(rows.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+# Steady-state codec budgets per (codec options, block geometry, bank
+# shape): a repeat call with the same workload shape skips BOTH exact-sizing
+# readbacks (candidate stats after the demod program, output sizes after the
+# codec program) and runs demod -> codec -> compaction as one uninterrupted
+# dispatch chain with a SINGLE readback at the end.  Safe because every
+# undershoot is detectable: candidate/scan saturation surfaces per block in
+# ``dropped`` (host-FSM fallback), and compaction overflow is caught from
+# the exact sizes carried in the packed readback (redo with exact budgets).
+_CODEC_BUDGET_CACHE: dict = {}
+
+
+def _dispatch_codec(codec_key, data, addr, count, sync, plan,
+                    max_packets_per_block, total_candidates, scan_cap):
+    if codec_key[0] == "il2p":
+        return bank_codec_step(
+            "il2p", data, addr, count, sync, plan,
+            max_packets=max_packets_per_block,
+            collect_crc=codec_key[1], disable_rs=codec_key[2],
+            min_distance=codec_key[3],
+            total_candidates=total_candidates,
+            # failed-header candidates contribute zero RS rows, so the
+            # live-row population is ~1 payload block per real packet;
+            # T already carries a >= 25% margin over the candidate
+            # count.  Multi-block-heavy workloads that overflow fall
+            # back per block to the host FSM via ``dropped``.
+            total_rs_blocks=total_candidates,
+            scan_cap=scan_cap,
+        )
+    return bank_codec_step(
+        "ax25", data, addr, count, sync, plan,
+        max_packets=max_packets_per_block,
+        min_packet_length=codec_key[1],
+        max_packet_length=codec_key[2],
+    )
+
+
+def _read_compact(out, meta_budget, len_budget, flat):
+    """Split compact_codec_out's packed readback into (sizes, comp dict,
+    dropped) by the static budget sizes."""
+    n_ok, total_bytes, max_len = (int(v) for v in flat[:12].view("<i4"))
+    off = 12
+    keys = COMPACT_META_KEYS if "corrected" in out else COMPACT_META_KEYS[:-1]
+    end = off + len(keys) * meta_budget * 4
+    comp = dict(zip(keys, flat[off:end].view("<i4").reshape(len(keys), -1)))
+    off = end
+    dropped = None
+    if "dropped" in out:
+        dshape = out["dropped"].shape
+        dsize = int(np.prod(dshape))
+        dropped = flat[off : off + dsize * 4].view("<i4").reshape(dshape)
+        off += dsize * 4
+    rows_np = flat[off:].reshape(meta_budget, len_budget)
+    # flatten the length-masked rows to the contiguous byte stream the
+    # packet builder slices with meta's ``base`` offsets (vectorized numpy;
+    # meta slots are rank-ordered, so row order == stream order)
+    comp["bytes"] = rows_np[
+        np.arange(rows_np.shape[-1])[None, :] < comp["length"][:, None]
+    ]
+    return (n_ok, total_bytes, max_len), comp, dropped
+
+
+def _len_bucket(max_len: int, lmax: int) -> int:
+    return min(1 << (max(max_len, 64) - 1).bit_length(), lmax)
 
 
 def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
@@ -972,60 +1055,91 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
     """Run the on-device codec over bank outputs and build packet objects."""
     from .. import profiling
 
+    cache_key = (codec_key, plan, data.shape[:2], max_packets_per_block)
+    cached = (
+        _CODEC_BUDGET_CACHE.get(cache_key)
+        if total_candidates is None
+        else None
+    )
+    if cached is not None:
+        # speculative steady-state path: ZERO readbacks before the packed
+        # result -- demod, codec, and compaction queue back-to-back on the
+        # device and the single transfer at the end synchronizes everything
+        cand_budget, scan_cap, meta_budget, len_budget = cached
+        with profiling.timed("device_codec_step"):
+            out = _dispatch_codec(
+                codec_key, data, addr, count, sync, plan,
+                max_packets_per_block, cand_budget, scan_cap,
+            )
+        with profiling.timed("device_codec_compact"):
+            packed = compact_codec_out(
+                out["ok"], out["address"], out["length"],
+                out.get("corrected"), out["packet"], meta_budget,
+                len_budget, out.get("dropped"),
+            )
+        with profiling.timed("device_codec_transfer"):
+            flat = np.asarray(packed)
+        sizes, comp, dropped = _read_compact(out, meta_budget, len_budget,
+                                             flat)
+        n_ok, _total_bytes, max_len = sizes
+        if n_ok > meta_budget or max_len > len_budget:
+            # compaction budgets overflowed (workload grew): redo the
+            # compaction with exact budgets -- correctness never depends on
+            # the cache, it only saves round trips
+            with profiling.timed("device_codec_redo"):
+                meta_budget = _budget_bucket(n_ok)
+                len_budget = _len_bucket(max_len, out["packet"].shape[-1])
+                packed = compact_codec_out(
+                    out["ok"], out["address"], out["length"],
+                    out.get("corrected"), out["packet"], meta_budget,
+                    len_budget, out.get("dropped"),
+                )
+                _, comp, dropped = _read_compact(
+                    out, meta_budget, len_budget, np.asarray(packed)
+                )
+        if dropped is not None and dropped.any():
+            # cached candidate/scan budgets saturated somewhere: this call
+            # already fell back to the host FSM for those blocks; re-seed
+            # exact budgets on the next call
+            _CODEC_BUDGET_CACHE.pop(cache_key, None)
+        else:
+            _CODEC_BUDGET_CACHE[cache_key] = (
+                cand_budget, scan_cap, meta_budget, len_budget
+            )
+        return packets_from_compact(
+            bank, plan, comp, n_ok, dropped, data, addr, count, sync
+        )
+
     scan_cap = 64
+    cand_budget = total_candidates
     if codec_key[0] == "il2p" and total_candidates is None:
         with profiling.timed("candidate_budget"):
-            total_candidates, scan_cap = auto_candidate_budget_device(sync)
+            cand_budget, scan_cap = auto_candidate_budget_device(sync)
     with profiling.timed("device_codec_step"):
-        if codec_key[0] == "il2p":
-            out = bank_codec_step(
-                "il2p", data, addr, count, sync, plan,
-                max_packets=max_packets_per_block,
-                collect_crc=codec_key[1], disable_rs=codec_key[2],
-                min_distance=codec_key[3],
-                total_candidates=total_candidates,
-                # failed-header candidates contribute zero RS rows, so the
-                # live-row population is ~1 payload block per real packet;
-                # T already carries a >= 25% margin over the candidate
-                # count.  Multi-block-heavy workloads that overflow fall
-                # back per block to the host FSM via ``dropped``.
-                total_rs_blocks=total_candidates,
-                scan_cap=scan_cap,
-            )
-        else:
-            out = bank_codec_step(
-                "ax25", data, addr, count, sync, plan,
-                max_packets=max_packets_per_block,
-                min_packet_length=codec_key[1],
-                max_packet_length=codec_key[2],
-            )
+        out = _dispatch_codec(
+            codec_key, data, addr, count, sync, plan,
+            max_packets_per_block, cand_budget, scan_cap,
+        )
     with profiling.timed("codec_sizes"):
         n_ok, _total_bytes, max_len = map(
             int, np.asarray(_codec_out_sizes(out["ok"], out["length"]))
         )
     with profiling.timed("device_codec_compact"):
-        len_budget = min(
-            1 << (max(max_len, 64) - 1).bit_length(),
-            out["packet"].shape[-1],
-        )
-        comp = compact_codec_out(
+        len_budget = _len_bucket(max_len, out["packet"].shape[-1])
+        meta_budget = _budget_bucket(n_ok)
+        packed = compact_codec_out(
             out["ok"], out["address"], out["length"], out.get("corrected"),
-            out["packet"], _budget_bucket(n_ok), len_budget,
+            out["packet"], meta_budget, len_budget, out.get("dropped"),
         )
     with profiling.timed("device_codec_transfer"):
-        rows_d = comp["rows"]
-        meta = np.asarray(comp["meta"])
-        comp = dict(zip(COMPACT_META_KEYS, meta))
-        rows_np = np.asarray(rows_d)
-        dropped = (
-            np.asarray(out["dropped"]) if "dropped" in out else None
+        flat = np.asarray(packed)
+    _sizes, comp, dropped = _read_compact(out, meta_budget, len_budget, flat)
+    if total_candidates is None and not (
+        dropped is not None and dropped.any()
+    ):
+        _CODEC_BUDGET_CACHE[cache_key] = (
+            cand_budget, scan_cap, meta_budget, len_budget
         )
-    # flatten the length-masked rows to the contiguous byte stream the
-    # packet builder slices with meta's ``base`` offsets (vectorized numpy;
-    # meta slots are rank-ordered, so row order == stream order)
-    comp["bytes"] = rows_np[
-        np.arange(rows_np.shape[-1])[None, :] < comp["length"][:, None]
-    ]
     return packets_from_compact(
         bank, plan, comp, n_ok, dropped, data, addr, count, sync
     )

@@ -114,6 +114,47 @@ def test_multi_file_batch_matches_per_file(fixture_audio):
         assert any(batched[fi].values())
 
 
+def test_budget_cache_speculative_path_matches(fixture_audio):
+    """A repeat device-codec call runs on CACHED budgets (zero pre-readback
+    sync points) and returns the identical packet set; a poisoned cache
+    entry with too-small compaction budgets is detected from the packed
+    sizes and redone exactly -- correctness never depends on the cache."""
+    from pymodem_tpu.runtime import bank as B
+    from pymodem_tpu.runtime.bank import run_banked
+
+    path = os.path.join(CONFIG_DIR, "afsk_300.json")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    chains = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc Correlator"]
+    audio = audio[: rate * 60]
+
+    B._CODEC_BUDGET_CACHE.clear()
+    first = run_banked(chains, audio, codec="device")
+    assert B._CODEC_BUDGET_CACHE, "exact path should seed the budget cache"
+    (key, seeded), = B._CODEC_BUDGET_CACHE.items()
+    second = run_banked(chains, audio, codec="device")
+    assert B._CODEC_BUDGET_CACHE[key] == seeded  # clean hit, no eviction
+
+    def pkts(res):
+        return {
+            n: [(p.streamaddress, list(p.data)) for p in v]
+            for n, v in res.items()
+        }
+
+    assert pkts(second) == pkts(first)
+    assert any(first.values())
+
+    # poison the compaction budgets: meta_budget/len_budget far too small
+    # for the real packet population -> overflow detected -> exact redo
+    cand_budget, scan_cap, _, _ = seeded
+    B._CODEC_BUDGET_CACHE[key] = (cand_budget, scan_cap, 1, 64)
+    redone = run_banked(chains, audio, codec="device")
+    assert pkts(redone) == pkts(first)
+    B._CODEC_BUDGET_CACHE.clear()
+
+
 @pytest.mark.parametrize("codec", ["host", "device"])
 def test_grouped_dispatch_matches_single(fixture_audio, codec):
     """max_blocks_per_step (bank_device_step_grouped: one lax.map program,

@@ -41,6 +41,12 @@ def main():
     ]
     hour = 3600 * rate
     tiled = np.tile(audio, -(-hour // len(audio)))[:hour]
+    # steady-state decode, like bench.py: the one-time 57.6 MB host->device
+    # upload (~1.6 s over the tunnel) would otherwise ride on the first
+    # readback's stage line
+    import jax
+
+    tiled = jax.device_put(tiled)
 
     kw = dict(codec=codec, max_blocks_per_step=blocks_per_step)
     pkts = run_banked(chains, tiled, **kw)  # warm
