@@ -1050,9 +1050,19 @@ def _len_bucket(max_len: int, lmax: int) -> int:
     return min(1 << (max(max_len, 64) - 1).bit_length(), lmax)
 
 
-def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
-                          max_packets_per_block, total_candidates):
-    """Run the on-device codec over bank outputs and build packet objects."""
+def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
+                         max_packets_per_block, total_candidates):
+    """Dispatch the on-device codec + compaction over bank outputs; return
+    a collect() closure that performs the (single, packed) readback and
+    builds packet objects.
+
+    Split so callers can pipeline: dispatch is async, so submitting the
+    next bank's (or next recording's) codec stage before collecting this
+    one hides the readback round trip and the host packet build behind
+    device compute.  On a budget-cache hit the codec and compaction
+    dispatch NOW (zero sync points until collect); on a miss the exact
+    two-phase sizing (which must read back intermediate scalars) happens
+    inside collect()."""
     from .. import profiling
 
     cache_key = (codec_key, plan, data.shape[:2], max_packets_per_block)
@@ -1065,7 +1075,7 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
         # speculative steady-state path: ZERO readbacks before the packed
         # result -- demod, codec, and compaction queue back-to-back on the
         # device and the single transfer at the end synchronizes everything
-        cand_budget, scan_cap, meta_budget, len_budget = cached
+        cand_budget, scan_cap, meta_budget0, len_budget0 = cached
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan,
@@ -1074,35 +1084,78 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
         with profiling.timed("device_codec_compact"):
             packed = compact_codec_out(
                 out["ok"], out["address"], out["length"],
+                out.get("corrected"), out["packet"], meta_budget0,
+                len_budget0, out.get("dropped"),
+            )
+
+        def collect():
+            meta_budget, len_budget = meta_budget0, len_budget0
+            with profiling.timed("device_codec_transfer"):
+                flat = np.asarray(packed)
+            sizes, comp, dropped = _read_compact(out, meta_budget,
+                                                 len_budget, flat)
+            n_ok, _total_bytes, max_len = sizes
+            if n_ok > meta_budget or max_len > len_budget:
+                # compaction budgets overflowed (workload grew): redo the
+                # compaction with exact budgets -- correctness never depends
+                # on the cache, it only saves round trips
+                with profiling.timed("device_codec_redo"):
+                    meta_budget = _budget_bucket(n_ok)
+                    len_budget = _len_bucket(max_len,
+                                             out["packet"].shape[-1])
+                    repacked = compact_codec_out(
+                        out["ok"], out["address"], out["length"],
+                        out.get("corrected"), out["packet"], meta_budget,
+                        len_budget, out.get("dropped"),
+                    )
+                    _, comp, dropped = _read_compact(
+                        out, meta_budget, len_budget, np.asarray(repacked)
+                    )
+            if dropped is not None and dropped.any():
+                # cached candidate/scan budgets saturated somewhere: this
+                # call already fell back to the host FSM for those blocks;
+                # re-seed exact budgets on the next call
+                _CODEC_BUDGET_CACHE.pop(cache_key, None)
+            else:
+                _CODEC_BUDGET_CACHE[cache_key] = (
+                    cand_budget, scan_cap, meta_budget, len_budget
+                )
+            return packets_from_compact(
+                bank, plan, comp, n_ok, dropped, data, addr, count, sync
+            )
+
+        return collect
+
+    def collect():
+        scan_cap = 64
+        cand_budget = total_candidates
+        if codec_key[0] == "il2p" and total_candidates is None:
+            with profiling.timed("candidate_budget"):
+                cand_budget, scan_cap = auto_candidate_budget_device(sync)
+        with profiling.timed("device_codec_step"):
+            out = _dispatch_codec(
+                codec_key, data, addr, count, sync, plan,
+                max_packets_per_block, cand_budget, scan_cap,
+            )
+        with profiling.timed("codec_sizes"):
+            n_ok, _total_bytes, max_len = map(
+                int, np.asarray(_codec_out_sizes(out["ok"], out["length"]))
+            )
+        with profiling.timed("device_codec_compact"):
+            len_budget = _len_bucket(max_len, out["packet"].shape[-1])
+            meta_budget = _budget_bucket(n_ok)
+            packed = compact_codec_out(
+                out["ok"], out["address"], out["length"],
                 out.get("corrected"), out["packet"], meta_budget,
                 len_budget, out.get("dropped"),
             )
         with profiling.timed("device_codec_transfer"):
             flat = np.asarray(packed)
-        sizes, comp, dropped = _read_compact(out, meta_budget, len_budget,
-                                             flat)
-        n_ok, _total_bytes, max_len = sizes
-        if n_ok > meta_budget or max_len > len_budget:
-            # compaction budgets overflowed (workload grew): redo the
-            # compaction with exact budgets -- correctness never depends on
-            # the cache, it only saves round trips
-            with profiling.timed("device_codec_redo"):
-                meta_budget = _budget_bucket(n_ok)
-                len_budget = _len_bucket(max_len, out["packet"].shape[-1])
-                packed = compact_codec_out(
-                    out["ok"], out["address"], out["length"],
-                    out.get("corrected"), out["packet"], meta_budget,
-                    len_budget, out.get("dropped"),
-                )
-                _, comp, dropped = _read_compact(
-                    out, meta_budget, len_budget, np.asarray(packed)
-                )
-        if dropped is not None and dropped.any():
-            # cached candidate/scan budgets saturated somewhere: this call
-            # already fell back to the host FSM for those blocks; re-seed
-            # exact budgets on the next call
-            _CODEC_BUDGET_CACHE.pop(cache_key, None)
-        else:
+        _sizes, comp, dropped = _read_compact(out, meta_budget, len_budget,
+                                              flat)
+        if total_candidates is None and not (
+            dropped is not None and dropped.any()
+        ):
             _CODEC_BUDGET_CACHE[cache_key] = (
                 cand_budget, scan_cap, meta_budget, len_budget
             )
@@ -1110,39 +1163,16 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
             bank, plan, comp, n_ok, dropped, data, addr, count, sync
         )
 
-    scan_cap = 64
-    cand_budget = total_candidates
-    if codec_key[0] == "il2p" and total_candidates is None:
-        with profiling.timed("candidate_budget"):
-            cand_budget, scan_cap = auto_candidate_budget_device(sync)
-    with profiling.timed("device_codec_step"):
-        out = _dispatch_codec(
-            codec_key, data, addr, count, sync, plan,
-            max_packets_per_block, cand_budget, scan_cap,
-        )
-    with profiling.timed("codec_sizes"):
-        n_ok, _total_bytes, max_len = map(
-            int, np.asarray(_codec_out_sizes(out["ok"], out["length"]))
-        )
-    with profiling.timed("device_codec_compact"):
-        len_budget = _len_bucket(max_len, out["packet"].shape[-1])
-        meta_budget = _budget_bucket(n_ok)
-        packed = compact_codec_out(
-            out["ok"], out["address"], out["length"], out.get("corrected"),
-            out["packet"], meta_budget, len_budget, out.get("dropped"),
-        )
-    with profiling.timed("device_codec_transfer"):
-        flat = np.asarray(packed)
-    _sizes, comp, dropped = _read_compact(out, meta_budget, len_budget, flat)
-    if total_candidates is None and not (
-        dropped is not None and dropped.any()
-    ):
-        _CODEC_BUDGET_CACHE[cache_key] = (
-            cand_budget, scan_cap, meta_budget, len_budget
-        )
-    return packets_from_compact(
-        bank, plan, comp, n_ok, dropped, data, addr, count, sync
-    )
+    return collect
+
+
+def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
+                          max_packets_per_block, total_candidates):
+    """Run the on-device codec over bank outputs and build packet objects."""
+    return _device_codec_submit(
+        bank, plan, codec_key, data, addr, count, sync,
+        max_packets_per_block, total_candidates,
+    )()
 
 
 def _fallback_block_packets(per_chain, bank, plan, fallback, data, addr,
@@ -1348,15 +1378,6 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     default 'auto' sizes groups for VPU lane occupancy vs HBM
     (auto_blocks_per_step); None forces a single ungrouped dispatch.
     """
-    from ..codecs.host import (
-        ax25_decode_host,
-        il2p_decode_host,
-        il2p_seeded_sync_possible,
-    )
-    from ..config import AX25CodecSpec, IL2PCodecSpec
-
-    from .. import profiling
-
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     for c in chains:
@@ -1369,8 +1390,78 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     if not isinstance(audio, jax.Array):
         audio = np.asarray(audio)
     results: dict[str, list] = {}
+    for collect in _submit_banked(
+        chains, audio, dtype, block_seconds, overlap_seconds, method,
+        unroll, codec, max_packets_per_block, max_blocks_per_step,
+        total_candidates,
+    ):
+        results.update(collect())
+    return results
+
+
+def _host_codec_collect(bank, plan, sync_tol, arrays):
+    """collect() for a bank on the host-FSM codec path: read the byte
+    streams back and run the reference-exact FSMs per block."""
+    from .. import profiling
+    from ..codecs.host import il2p_seeded_sync_any
+    from ..config import IL2PCodecSpec
+
+    data, addr, count, sync = arrays
+    results: dict[str, list] = {}
+    with profiling.timed("transfer"):
+        data = np.asarray(data)
+        addr = np.asarray(addr)
+        count = np.asarray(count)
+        sync = np.asarray(sync)  # packed bitmap (C, B, cap) uint8
+    # vectorized block skip: a block without any sync candidate (and no
+    # possible seeded-history sync in its first 32 bits) emits nothing
+    has_cand = sync.any(axis=2) | il2p_seeded_sync_any(
+        data[:, :, :4], sync_tol
+    )
+    for ci, chain in enumerate(bank.specs):
+        skippable = isinstance(chain.codec, IL2PCodecSpec)
+        packets = []
+        for b in range(plan.n_blocks):
+            n = int(count[ci, b])
+            if n == 0 or (skippable and not has_cand[ci, b]):
+                continue
+            block_bytes = data[ci, b, :n].astype(np.int64)
+            # addresses are 1-based within the block's demod range,
+            # which starts at absolute index b*block_len - overlap.
+            offset = b * plan.block_len - plan.overlap
+            block_addr = addr[ci, b, :n].astype(np.int64) + offset
+            with profiling.timed("host_codec"):
+                pkts = host_decode_block(
+                    chain, block_bytes, block_addr, sync[ci, b]
+                )
+            lo, hi = plan.keep_range(b)
+            packets.extend(
+                p for p in pkts if lo < p.streamaddress <= hi
+            )
+        results[chain.name] = _dedup_block_boundary(packets, chain)
+    return results
+
+
+def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
+                   method, unroll, codec, max_packets_per_block,
+                   max_blocks_per_step, total_candidates):
+    """Dispatch every bank's device programs for one recording; return a
+    list of collect() closures (one per bank, each -> {chain: packets}).
+
+    Dispatch is async, so bank i's first sync point (candidate stats or
+    byte-stream transfer) overlaps banks i+1..n's device compute -- the
+    multi-bank CLI configs (e.g. afsk_300.json builds 4 banks) would
+    otherwise serialize a full tunnel round trip per bank.  On budget-cache
+    hits the codec + compaction stages dispatch here too, so a whole
+    recording runs back-to-back on device with one readback per bank at
+    collect time (run_banked_many pipelines this across recordings)."""
+    from functools import partial as _p
+
+    from .. import profiling
+
     with profiling.timed("group_chains"):
         banks = group_chains(chains, dtype)
+    collectors = []
     for bank in banks:
         sample_rate = bank.specs[0].modem.sample_rate
         plan = default_block_plan(
@@ -1392,52 +1483,70 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
                 len(bank.specs), plan.block_input_len, plan.n_blocks, dtype
             )
         with profiling.timed("device_step"):
-            data, addr, count, sync = _dispatch_bank_step(
+            arrays = _dispatch_bank_step(
                 bank, plan, st, cap, sync_tol, audio, dtype, method,
                 unroll, group,
             )
         codec_key = _bank_uniform_codec(bank) if codec == "device" else None
         if codec_key is not None:
-            for name, pkts in _device_codec_packets(
+            data, addr, count, sync = arrays
+            collectors.append(_device_codec_submit(
                 bank, plan, codec_key, data, addr, count, sync,
                 max_packets_per_block, total_candidates,
-            ).items():
-                results[name] = pkts
-            continue
-        with profiling.timed("transfer"):
-            data = np.asarray(data)
-            addr = np.asarray(addr)
-            count = np.asarray(count)
-            sync = np.asarray(sync)  # packed bitmap (C, B, cap) uint8
-        # vectorized block skip: a block without any sync candidate (and no
-        # possible seeded-history sync in its first 32 bits) emits nothing
-        from ..codecs.host import il2p_seeded_sync_any
+            ))
+        else:
+            collectors.append(_p(_host_codec_collect, bank, plan, sync_tol,
+                                 arrays))
+    return collectors
 
-        has_cand = sync.any(axis=2) | il2p_seeded_sync_any(
-            data[:, :, :4], sync_tol
-        )
-        for ci, chain in enumerate(bank.specs):
-            skippable = isinstance(chain.codec, IL2PCodecSpec)
-            packets = []
-            for b in range(plan.n_blocks):
-                n = int(count[ci, b])
-                if n == 0 or (skippable and not has_cand[ci, b]):
-                    continue
-                block_bytes = data[ci, b, :n].astype(np.int64)
-                # addresses are 1-based within the block's demod range,
-                # which starts at absolute index b*block_len - overlap.
-                offset = b * plan.block_len - plan.overlap
-                block_addr = addr[ci, b, :n].astype(np.int64) + offset
-                with profiling.timed("host_codec"):
-                    pkts = host_decode_block(
-                        chain, block_bytes, block_addr, sync[ci, b]
-                    )
-                lo, hi = plan.keep_range(b)
-                packets.extend(
-                    p for p in pkts if lo < p.streamaddress <= hi
+
+def run_banked_many(chains, audios, depth: int = 1, dtype=None,
+                    block_seconds: float = 16.0, overlap_seconds: float = 6.0,
+                    method: str = "auto", unroll: int = 8,
+                    codec: str = "device", max_packets_per_block: int = 8,
+                    max_blocks_per_step: int | None | str = "auto",
+                    total_candidates: int | None = None):
+    """Pipelined decode of a stream of recordings (the serving loop):
+    recording i+1's device programs are dispatched before recording i's
+    results are read back, so each readback round trip and host packet
+    build hides behind the next recording's device compute.
+
+    ``depth`` recordings stay in flight (device memory holds depth+1
+    recordings' block outputs).  Returns one {chain: packets} dict per
+    recording, in order -- identical to [run_banked(chains, a) for a in
+    audios].  (The reference's per-process whole-file model has no serving
+    analog; this is the TPU-native replacement for re-running
+    pymodem.py per file.)"""
+    from collections import deque
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    kw = (dtype, block_seconds, overlap_seconds, method, unroll, codec,
+          max_packets_per_block, max_blocks_per_step, total_candidates)
+
+    def drain(collectors):
+        res: dict[str, list] = {}
+        for collect in collectors:
+            res.update(collect())
+        return res
+
+    out = []
+    queue: deque = deque()
+    for audio in audios:
+        for c in chains:
+            if getattr(c.modem, "output_oversample", 1.0) > 1.0:
+                raise ValueError(
+                    f"chain {c.name!r}: output_oversample > 1 runs via the "
+                    "sequential executor, not the banked runtime"
                 )
-            results[chain.name] = _dedup_block_boundary(packets, chain)
-    return results
+        if not isinstance(audio, jax.Array):
+            audio = np.asarray(audio)
+        queue.append(_submit_banked(chains, audio, *kw))
+        if len(queue) > depth:
+            out.append(drain(queue.popleft()))
+    while queue:
+        out.append(drain(queue.popleft()))
+    return out
 
 
 

@@ -114,6 +114,38 @@ def test_multi_file_batch_matches_per_file(fixture_audio):
         assert any(batched[fi].values())
 
 
+def test_run_banked_many_pipelined_matches_sequential(fixture_audio):
+    """run_banked_many (serving pipeline: next recording's programs
+    dispatched before this one's readback) returns exactly what per-file
+    run_banked returns, including across different-length recordings and
+    for both codec paths in one call (PLL+correlator = 2 banks, one of
+    which is the device codec)."""
+    from pymodem_tpu.runtime.bank import run_banked, run_banked_many
+
+    path = os.path.join(CONFIG_DIR, "afsk_300.json")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    chains = [c for c in plan.chains
+              if c.name in ("AFSK 300 Il2Pc PLL inverted",
+                            "AFSK 300 Il2Pc Correlator")]
+    audios = [audio[: rate * 60], audio[rate * 30 : rate * 100],
+              audio[: rate * 60]]
+    piped = run_banked_many(chains, audios, depth=2)
+
+    def pkts(res):
+        return {
+            n: [(p.streamaddress, list(p.data)) for p in v]
+            for n, v in res.items()
+        }
+
+    assert len(piped) == len(audios)
+    for a, got in zip(audios, piped):
+        assert pkts(got) == pkts(run_banked(chains, a))
+    assert any(piped[0].values())
+
+
 def test_budget_cache_speculative_path_matches(fixture_audio):
     """A repeat device-codec call runs on CACHED budgets (zero pre-readback
     sync points) and returns the identical packet set; a poisoned cache
