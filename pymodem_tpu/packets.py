@@ -151,7 +151,18 @@ class PacketAggregate:
 
     def correlate(self, address_distance: float) -> None:
         """Dedup valid packets by (|address delta| < distance, equal CRC,
-        different decoder) (packet_meta.py:230-271)."""
+        different decoder) (packet_meta.py:230-271).
+
+        Semantics match the reference's O(unique x raw) pairwise scan
+        exactly, but the work is bucketed by calculated CRC: only
+        equal-CRC packets can ever correlate, and bucket insertion order
+        is unique-list insertion order, so first-match-within-bucket ==
+        the reference's first-match-in-unique-order.  Packet-dense bank
+        runs (thousands of raw packets) stay linear-ish instead of
+        quadratic."""
+        from collections import defaultdict
+
+        by_crc: dict[int, list[Packet]] = defaultdict(list)
         first = True
         for chain in self.chains:
             for packet in chain:
@@ -159,12 +170,11 @@ class PacketAggregate:
                     continue
                 is_unique = True
                 if not first:
-                    for seen in self.unique:
+                    for seen in by_crc[packet.calculated_crc]:
                         if (
                             seen.source_decoder != packet.source_decoder
                             and abs(packet.streamaddress - seen.streamaddress)
                             < address_distance
-                            and packet.calculated_crc == seen.calculated_crc
                         ):
                             is_unique = False
                             seen.correlated_decoders.append(packet.source_decoder)
@@ -172,6 +182,7 @@ class PacketAggregate:
                 if is_unique:
                     packet.correlated_decoders.append(packet.source_decoder)
                     self.unique.append(packet)
+                    by_crc[packet.calculated_crc].append(packet)
             first = False
         self.unique.sort(key=lambda p: p.streamaddress)
         unique_decoders = []
