@@ -520,6 +520,9 @@ def _slicer_static(bank: Bank) -> dict:
         "state_mask": getattr(sl, "state_mask", 0),
         "bits_per_symbol": getattr(sl, "bits_per_symbol", 1),
         "compact_window": window,
+        # bank-uniform (part of the grouping key): lets the Pallas slicer
+        # lane kernels take the demap as a static host constant
+        "demap": tuple(int(v) for v in getattr(sl, "demap", ()) or ()),
     }
 
 
@@ -540,13 +543,14 @@ def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
                                    "poly", "invert", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
                                    "method", "unroll", "compact_window",
-                                   "pallas"))
+                                   "pallas", "slicer_demap"))
 def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
                      plan: BlockPlan, capacity: int, poly: int, invert: bool,
                      slicer_static_mask: int, slicer_static_bps: int,
                      sync_tolerance: int = 0,
                      method: str = "auto", unroll: int = 8,
-                     compact_window: int = 1, pallas: bool | None = None):
+                     compact_window: int = 1, pallas: bool | None = None,
+                     slicer_demap: tuple = ()):
     """One bank's full device program: audio (n,) -> per-chain packets' raw
     material (C, B, cap) bytes + addresses + counts + packed IL2P syncword
     candidate map (C, B, cap) uint8.
@@ -560,7 +564,7 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
     return bank_device_step_frames(
         kind, slicer_kind, params, blocks, capacity, poly, invert,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,
-        unroll, compact_window, pallas=pallas,
+        unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
     )
 
 
@@ -569,7 +573,8 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
                          invert: bool, slicer_static_mask: int,
                          slicer_static_bps: int, sync_tolerance: int,
                          method: str, unroll: int, compact_window: int,
-                         normal_fn=None, pallas: bool | None = None):
+                         normal_fn=None, pallas: bool | None = None,
+                         slicer_demap: tuple = ()):
     """Traced body shared by the jitted bank-step entry points: (B, Lin)
     frames -> per-chain (C, B, cap) bytes/addresses/counts/sync bitmap.
     Byte streams leave as uint8 (4x smaller host transfers than the
@@ -597,13 +602,21 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
 
     if pallas is None:
         pallas = _pallas_loop_wanted(blocks.dtype)
-    if pallas and slicer_kind == "binary":
+    lanes = pallas and (
+        slicer_kind == "binary"
+        or (slicer_kind in ("quadrature", "4level") and bool(slicer_demap))
+    )
+    if lanes:
         # bank-level path: demod to (C, B, L2) basebands, then ONE Pallas
         # slicer kernel over all C*B lanes (ops/pallas_slicers.py) instead
-        # of a vmapped scan, then the per-chain byte tail.
+        # of a vmapped scan, then the per-chain byte tail.  The quadrature
+        # and 4-level kernels take the demap as a static host constant
+        # (``slicer_demap``, bank-uniform by the grouping key).
         from ..ops.pallas_slicers import (
             binary_slice_lanes_pallas,
             decode_emissions,
+            four_level_slice_lanes_pallas,
+            quadrature_slice_lanes_pallas,
         )
         from ..ops.slicers import SlicerOut, compact_windowed
 
@@ -615,31 +628,42 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
                 lambda cp: demod_blocks(kind, dict(cp), blocks, method,
                                         unroll, normal_fn)
             )(params)
-        C, B, L2 = basebands.shape
+        pair = isinstance(basebands, tuple)
+        C, B, L2 = (basebands[0] if pair else basebands).shape
         lane_params = jnp.stack([
             jnp.repeat(jnp.asarray(params["sps"], jnp.float32).reshape(C), B),
             jnp.repeat(
                 jnp.asarray(params["lock_rate"], jnp.float32).reshape(C), B
             ),
         ])
-        if compact_window > 1:
+        w = compact_window
+        if slicer_kind == "binary":
+            enc = binary_slice_lanes_pallas(
+                basebands.reshape(C * B, L2), lane_params, window=w
+            )
+        elif slicer_kind == "quadrature":
+            enc = quadrature_slice_lanes_pallas(
+                basebands[0].reshape(C * B, L2),
+                basebands[1].reshape(C * B, L2),
+                lane_params, slicer_demap, slicer_static_mask,
+                slicer_static_bps, window=w,
+            )
+        else:
+            enc = four_level_slice_lanes_pallas(
+                basebands.reshape(C * B, L2), lane_params, slicer_demap,
+                window=w,
+            )
+        enc = enc.reshape(C, B, -1)
+        if w > 1:
             # the 1-emission-per-window reduction runs inside the kernel:
             # the emission stream leaves at window granularity
-            enc = binary_slice_lanes_pallas(
-                basebands.reshape(C * B, L2), lane_params,
-                window=compact_window,
-            ).reshape(C, B, -1)
             data, addr, count = jax.vmap(jax.vmap(
-                lambda e: compact_windowed(e, compact_window, capacity)
+                lambda e: compact_windowed(e, w, capacity)
             ))(enc)
             return jax.vmap(post_slicer)(data, addr, count)
-        enc = binary_slice_lanes_pallas(
-            basebands.reshape(C * B, L2), lane_params
-        ).reshape(C, B, L2)
         valid, byte = decode_emissions(enc)
         data, addr, count = jax.vmap(jax.vmap(
-            lambda v, b: compact_bytes(SlicerOut(v, b), capacity,
-                                       compact_window)
+            lambda v, b: compact_bytes(SlicerOut(v, b), capacity, w)
         ))(valid, byte)
         return jax.vmap(post_slicer)(data, addr, count)
 
@@ -660,14 +684,15 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
                                    "invert", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
                                    "method", "unroll", "compact_window",
-                                   "pallas"))
+                                   "pallas", "slicer_demap"))
 def bank_device_step_frames(kind: str, slicer_kind: str, params,
                             blocks: jax.Array, capacity: int, poly: int,
                             invert: bool, slicer_static_mask: int,
                             slicer_static_bps: int, sync_tolerance: int = 0,
                             method: str = "auto", unroll: int = 8,
                             compact_window: int = 1,
-                            pallas: bool | None = None):
+                            pallas: bool | None = None,
+                            slicer_demap: tuple = ()):
     """bank_device_step on pre-framed (B, Lin) blocks -- the streaming entry
     point, where the host carries the overlap+trim tail between feeds.
 
@@ -678,7 +703,7 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
     return _bank_frames_compute(
         kind, slicer_kind, params, blocks, capacity, poly, invert,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,
-        unroll, compact_window, pallas=pallas,
+        unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
     )
 
 
@@ -686,14 +711,16 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
                                    "capacity", "poly", "invert",
                                    "slicer_static_mask", "slicer_static_bps",
                                    "sync_tolerance", "method", "unroll",
-                                   "compact_window", "dtype", "pallas"))
+                                   "compact_window", "dtype", "pallas",
+                                   "slicer_demap"))
 def bank_device_step_grouped(kind: str, slicer_kind: str, params,
                              audio: jax.Array, plan: BlockPlan, group: int,
                              capacity: int, poly: int, invert: bool,
                              slicer_static_mask: int, slicer_static_bps: int,
                              sync_tolerance: int = 0, method: str = "auto",
                              unroll: int = 8, compact_window: int = 1,
-                             dtype=jnp.float32, pallas: bool | None = None):
+                             dtype=jnp.float32, pallas: bool | None = None,
+                             slicer_demap: tuple = ()):
     """bank_device_step for long recordings: ONE device program that
     `lax.map`s the bank pipeline over fixed-size block groups.
 
@@ -718,7 +745,7 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
         return _bank_frames_compute(
             kind, slicer_kind, params, frames, capacity, poly, invert,
             slicer_static_mask, slicer_static_bps, sync_tolerance, method,
-            unroll, compact_window, pallas=pallas,
+            unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
         )
 
     starts = jnp.arange(n_groups, dtype=jnp.int32) * (g * plan.block_len)
@@ -1024,17 +1051,26 @@ def _dispatch_codec(codec_key, data, addr, count, sync, plan,
 def _read_compact(out, meta_budget, len_budget, flat):
     """Split compact_codec_out's packed readback into (sizes, comp dict,
     dropped) by the static budget sizes."""
+    return _split_compact(
+        flat, meta_budget, len_budget, "corrected" in out,
+        out["dropped"].shape if "dropped" in out else None,
+    )
+
+
+def _split_compact(flat, meta_budget, len_budget, has_corrected: bool,
+                   dropped_shape):
+    """Shape-driven form of _read_compact (no codec-output dict needed):
+    the sharded runtime parses each shard's packed buffer with this."""
     n_ok, total_bytes, max_len = (int(v) for v in flat[:12].view("<i4"))
     off = 12
-    keys = COMPACT_META_KEYS if "corrected" in out else COMPACT_META_KEYS[:-1]
+    keys = COMPACT_META_KEYS if has_corrected else COMPACT_META_KEYS[:-1]
     end = off + len(keys) * meta_budget * 4
     comp = dict(zip(keys, flat[off:end].view("<i4").reshape(len(keys), -1)))
     off = end
     dropped = None
-    if "dropped" in out:
-        dshape = out["dropped"].shape
-        dsize = int(np.prod(dshape))
-        dropped = flat[off : off + dsize * 4].view("<i4").reshape(dshape)
+    if dropped_shape is not None:
+        dsize = int(np.prod(dropped_shape))
+        dropped = flat[off : off + dsize * 4].view("<i4").reshape(dropped_shape)
         off += dsize * 4
     rows_np = flat[off:].reshape(meta_budget, len_budget)
     # flatten the length-masked rows to the contiguous byte stream the
@@ -1329,7 +1365,7 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
             jnp.asarray(audio, dtype), plan, cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method,
-            unroll, st["compact_window"], pallas,
+            unroll, st["compact_window"], pallas, st["demap"],
         )
     # keep the wire dtype: int16 WAV uploads as int16; frames convert on
     # device (int16 -> f32/f64 is exact, so decisions are unchanged).  Audio
@@ -1348,7 +1384,7 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
         jnp.asarray(wire), plan, max_blocks_per_step, cap,
         bank.stream_poly, bank.stream_invert,
         st["state_mask"], st["bits_per_symbol"], sync_tol, method,
-        unroll, st["compact_window"], dtype, pallas,
+        unroll, st["compact_window"], dtype, pallas, st["demap"],
     )
 
 
@@ -1670,7 +1706,7 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
             jnp.asarray(frames, dtype), cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
-            st["compact_window"],
+            st["compact_window"], slicer_demap=st["demap"],
         )
         data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
         has_cand = sync.any(axis=2) | il2p_seeded_sync_any(
@@ -1753,6 +1789,15 @@ def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
                 raise
             print(f"skipped chain {c.name}: {type(exc).__name__}: {exc}")
             by_name[c.name] = []
+    return _finish_plan(plan, by_name, sample_rate)
+
+
+def _finish_plan(plan, by_name: dict, sample_rate: float):
+    """Aggregate one recording's per-chain packets into a RunResult
+    (config-order chains, cross-chain correlate, rendered reports)."""
+    from ..packets import PacketAggregate
+    from .executor import RunResult
+
     aggregate = PacketAggregate()
     for chain in plan.chains:
         aggregate.add(by_name.get(chain.name, []))
@@ -1771,3 +1816,53 @@ def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
         for r in plan.reports
     ]
     return RunResult(aggregate=aggregate, reports=reports)
+
+
+def run_plan_banked_many(plan, audios, sample_rate: float, depth: int = 1,
+                         dtype=None, block_seconds: float = 16.0,
+                         overlap_seconds: float = 6.0, method: str = "auto",
+                         unroll: int = 8, codec: str = "device",
+                         resilient: bool = True):
+    """Pipelined run_plan_banked over several recordings (the serving warm
+    path): recording i+1's device programs dispatch before recording i's
+    packed readback (run_banked_many), so the readback round trip and the
+    host packet/report build hide behind device compute.  Returns one
+    RunResult per recording, identical to per-recording run_plan_banked."""
+    from .executor import run_chain
+
+    seq_chains = [
+        c for c in plan.chains
+        if getattr(c.modem, "output_oversample", 1.0) > 1.0
+    ]
+    banked_chains = [c for c in plan.chains if c not in seq_chains]
+    try:
+        per_rec = run_banked_many(
+            banked_chains, audios, depth=depth, dtype=dtype,
+            block_seconds=block_seconds, overlap_seconds=overlap_seconds,
+            method=method, unroll=unroll, codec=codec,
+        )
+    except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
+        if not resilient:
+            raise
+        print(f"banked runtime failed ({type(exc).__name__}: {exc}); "
+              f"retrying recordings individually")
+        return [
+            run_plan_banked(plan, a, sample_rate, dtype=dtype,
+                            block_seconds=block_seconds,
+                            overlap_seconds=overlap_seconds, method=method,
+                            unroll=unroll, codec=codec)
+            for a in audios
+        ]
+    results = []
+    for audio, by_name in zip(audios, per_rec):
+        for c in seq_chains:
+            try:
+                by_name[c.name] = run_chain(c, audio, dtype=dtype,
+                                            method=method, unroll=unroll)
+            except Exception as exc:  # noqa: BLE001
+                if not resilient:
+                    raise
+                print(f"skipped chain {c.name}: {type(exc).__name__}: {exc}")
+                by_name[c.name] = []
+        results.append(_finish_plan(plan, by_name, sample_rate))
+    return results

@@ -147,6 +147,7 @@ class StreamDecoder:
             state.sync_tol, self.method, self.unroll,
             state.static["compact_window"],
             pallas=_pallas_loop_wanted(self.dtype),
+            slicer_demap=state.static["demap"],
         )
         data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
         n_demod_total = self._total - state.plan.trim

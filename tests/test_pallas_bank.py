@@ -103,3 +103,128 @@ def test_pallas_iq_bank_matches_scan(family, rng, monkeypatch):
     got = _keyed(run_banked(chains, audio, block_seconds=2.0,
                             overlap_seconds=0.8))
     assert got == want
+
+
+def test_pallas_4fsk_bank_matches_scan(rng, monkeypatch):
+    """4FSK (fsk modem + 4-level slicer lane kernel) pallas == scan."""
+    import os
+
+    from pymodem_tpu.config import load_plan
+
+    config = "/root/reference/configs/4fsk_9600.json"
+    if not os.path.exists(config):
+        pytest.skip("reference configs not available")
+    plan = load_plan(config, 48000)
+    chains = [c for c in plan.chains if "inverted" not in c.name]
+    sent, audio = fx.synthesize_for_chain(chains[0], 48000.0, rng)
+
+    monkeypatch.setenv("PYMODEM_TPU_LOOP_ENGINE", "scan")
+    want = _keyed(run_banked(chains, audio, block_seconds=4.0,
+                             overlap_seconds=3.0))
+    assert sum(len(v) for v in want.values()) >= len(sent) - 1
+
+    monkeypatch.setenv("PYMODEM_TPU_LOOP_ENGINE", "pallas")
+    got = _keyed(run_banked(chains, audio, block_seconds=4.0,
+                            overlap_seconds=3.0))
+    assert got == want
+
+
+@pytest.mark.parametrize("window", [1, 8])
+def test_quadrature_lanes_kernel_parity(rng, window):
+    """Direct kernel-vs-scan parity for the quadrature lane kernel
+    (interpret mode), both emission encodings."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.config import _QPSK_DEMAP
+    from pymodem_tpu.ops.pallas_slicers import (
+        decode_emissions,
+        quadrature_slice_lanes_pallas,
+    )
+    from pymodem_tpu.ops.slicers import (
+        SlicerOut,
+        compact_bytes,
+        compact_windowed,
+        quadrature_slice,
+    )
+
+    L, T, cap = 3, 2048, 64
+    sps, lock = 16.0, 0.9
+    i_l = rng.standard_normal((L, T)).astype(np.float32)
+    q_l = rng.standard_normal((L, T)).astype(np.float32)
+    lane_params = np.tile(
+        np.asarray([[sps], [lock]], np.float32), (1, L)
+    )
+    enc = quadrature_slice_lanes_pallas(
+        jnp.asarray(i_l), jnp.asarray(q_l), jnp.asarray(lane_params),
+        _QPSK_DEMAP, 0xF, 2, window=window,
+    )
+    demap = jnp.asarray(_QPSK_DEMAP, jnp.int32)
+    for lane in range(L):
+        ref = quadrature_slice(
+            jnp.asarray(i_l[lane]), jnp.asarray(q_l[lane]),
+            jnp.float32(sps), jnp.float32(lock), demap, 0xF, 2,
+        )
+        want = tuple(np.asarray(v) for v in compact_bytes(ref, cap, 1))
+        if window == 1:
+            out = decode_emissions(enc[lane])
+            got = tuple(np.asarray(v) for v in compact_bytes(out, cap, 1))
+        else:
+            got = tuple(
+                np.asarray(v)
+                for v in compact_windowed(enc[lane], window, cap)
+            )
+        assert got[2] == want[2] and got[2] > 0
+        n = int(want[2])
+        np.testing.assert_array_equal(got[0][:n], want[0][:n])
+        np.testing.assert_array_equal(got[1][:n], want[1][:n])
+
+
+@pytest.mark.parametrize("window", [1, 8])
+def test_four_level_lanes_kernel_parity(rng, window):
+    """Direct kernel-vs-scan parity for the 4-level lane kernel."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.config import FourLevelSlicerSpec
+    from pymodem_tpu.ops.pallas_slicers import (
+        decode_emissions,
+        four_level_slice_lanes_pallas,
+    )
+    from pymodem_tpu.ops.slicers import (
+        compact_bytes,
+        compact_windowed,
+        four_level_slice,
+    )
+    from pymodem_tpu.synth import modulate as mod
+
+    demap = FourLevelSlicerSpec().demap
+    L, cap = 2, 64
+    sps, lock = 10.0, 0.99
+    dibits = list(rng.integers(0, 4, size=200))
+    audio = mod.four_level_modulate(dibits, 48000.0, 4800.0)
+    x = np.stack([audio, -audio]).astype(np.float32)[:, : 4096]
+    T = x.shape[1]
+    lane_params = np.tile(
+        np.asarray([[sps], [lock]], np.float32), (1, L)
+    )
+    enc = four_level_slice_lanes_pallas(
+        jnp.asarray(x), jnp.asarray(lane_params), demap, window=window
+    )
+    dm = jnp.asarray(demap, jnp.int32)
+    for lane in range(L):
+        ref = four_level_slice(
+            jnp.asarray(x[lane]), jnp.float32(sps), jnp.float32(lock), dm,
+            jnp.float32(0.0),
+        )
+        want = tuple(np.asarray(v) for v in compact_bytes(ref, cap, 1))
+        if window == 1:
+            out = decode_emissions(enc[lane])
+            got = tuple(np.asarray(v) for v in compact_bytes(out, cap, 1))
+        else:
+            got = tuple(
+                np.asarray(v)
+                for v in compact_windowed(enc[lane], window, cap)
+            )
+        assert got[2] == want[2] and got[2] > 0
+        n = int(want[2])
+        np.testing.assert_array_equal(got[0][:n], want[0][:n])
+        np.testing.assert_array_equal(got[1][:n], want[1][:n])
