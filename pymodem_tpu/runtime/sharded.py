@@ -17,14 +17,22 @@ banked program shard over a device mesh:
   is an explicit ``lax.pmax`` over the time axis.
 
 Built on ``shard_map`` so the collective is visible and the per-shard
-program is exactly the single-device bank program.  Packet-material outputs
-come back sharded (C, B, cap); the codec stage either runs the host FSMs on
-candidate positions (codec='host') or decodes fully on device per shard
-into fixed-capacity packet buffers (codec='device', the device-side packet
-gather SURVEY.md section 2.6 maps the reference's Queue onto).
+program is exactly the single-device bank program -- including its fast
+path: on the device-codec route each shard runs codec + compaction
+in-shard with shared static budgets, every shard emits an identically
+shaped packed uint8 buffer, and the host performs ONE gather of the
+(n_chain, n_time, L) stack per bank.  Budgets come from a two-scalar
+device readback (never a full bitmap gather) and are cached per workload
+shape, so steady state is demod -> codec -> compaction as one dispatch
+chain with a single readback -- the same contract as the single-device
+runtime (bank.py _device_codec_submit).  Long recordings bound per-shard
+HBM by lax.map-ing the bank pipeline over fixed-size block groups inside
+the shard (the sharded analog of bank_device_step_grouped).
 """
 
 from __future__ import annotations
+
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +40,16 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from . import bank as bank_mod
-from .bank import BlockPlan, _slicer_static, bank_capacity
+from .bank import (
+    BlockPlan,
+    _budget_bucket,
+    _len_bucket,
+    _slicer_static,
+    _split_compact,
+    bank_capacity,
+    compact_codec_out,
+    packets_from_compact,
+)
 
 
 def make_mesh(n_chain: int, n_time: int, devices=None) -> Mesh:
@@ -74,25 +91,19 @@ def frame_blocks_host(audio: np.ndarray, plan: BlockPlan) -> np.ndarray:
     ).copy()
 
 
-def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
-                      frames: jax.Array, plan: BlockPlan, capacity: int,
-                      poly: int, invert: bool, slicer_static_mask: int,
-                      slicer_static_bps: int, sync_tolerance: int = 0,
-                      method: str = "auto", unroll: int = 8,
-                      compact_window: int = 1):
-    """jit(shard_map(...)) of the full bank program over the mesh.
+# ---------------------------------------------------------------------------
+# shard_map program builders (memoized: rebuilding jit(shard_map(closure))
+# per call would retrace the whole bank program every time)
+# ---------------------------------------------------------------------------
 
-    params leaves are sharded on their leading chain axis; ``frames``
-    (B, block_input_len) is sharded on the block axis over ``time``.
-    Returns (data, addr, count, packed_sync) with (C, B, ...) layouts
-    sharded over ('chain', 'time').
-    """
-    n_time = mesh.shape["time"]
-    assert frames.shape[0] % n_time == 0, (frames.shape, n_time)
 
-    pallas = bank_mod._pallas_loop_wanted(frames.dtype)
-
-    def shard_fn(shard_params, blocks):
+@lru_cache(maxsize=256)
+def _bank_step_fn(mesh: Mesh, kind: str, slicer_kind: str, capacity: int,
+                  poly: int, invert: bool, slicer_static_mask: int,
+                  slicer_static_bps: int, sync_tolerance: int, method: str,
+                  unroll: int, compact_window: int, pallas: bool,
+                  group: int | None, slicer_demap: tuple = ()):
+    def compute(shard_params, frames):
         # The per-shard program IS the single-device bank program
         # (bank.py _bank_frames_compute -- Pallas loop/slicer kernels on
         # TPU, scan engines elsewhere; the engine choice resolves OUTSIDE
@@ -100,62 +111,156 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
         # dependency, the AGC whole-recording max (agc.py:67), enters as
         # a pmax collective over the time axis via normal_fn.
         return bank_mod._bank_frames_compute(
-            kind, slicer_kind, shard_params, blocks, capacity, poly,
+            kind, slicer_kind, shard_params, frames, capacity, poly,
             invert, slicer_static_mask, slicer_static_bps, sync_tolerance,
             method, unroll, compact_window,
             normal_fn=lambda n: jax.lax.pmax(n, "time"), pallas=pallas,
+            slicer_demap=slicer_demap,
         )
+
+    def shard_fn(shard_params, blocks):
+        b_local = blocks.shape[0]
+        if group is None or b_local <= group:
+            return compute(shard_params, blocks)
+        # HBM-bounding group map (the in-shard analog of
+        # bank_device_step_grouped): live intermediates scale with the
+        # group size, not the shard's share of the recording.  Padded
+        # blocks are all-zero audio; their outputs are sliced off.
+        g = group
+        n_groups = -(-b_local // g)
+        bp = jnp.pad(blocks, ((0, n_groups * g - b_local), (0, 0)))
+        outs = jax.lax.map(
+            lambda fr: compute(shard_params, fr),
+            bp.reshape(n_groups, g, bp.shape[-1]),
+        )
+
+        def merge(x):
+            x = jnp.moveaxis(x, 0, 1)  # (C, G, g, ...)
+            return x.reshape(x.shape[0], n_groups * g, *x.shape[3:])[
+                :, :b_local
+            ]
+
+        return tuple(merge(x) for x in outs)
 
     from jax import shard_map
 
-    spec_params = jax.tree_util.tree_map(lambda _: P("chain"), params)
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(spec_params, P("time")),
+        in_specs=(P("chain"), P("time")),
         out_specs=(
             P("chain", "time"), P("chain", "time"), P("chain", "time"),
             P("chain", "time"),
         ),
         check_vma=False,
     )
-    return jax.jit(fn)(params, frames)
+    return jax.jit(fn)
+
+
+def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
+                      frames: jax.Array, plan: BlockPlan, capacity: int,
+                      poly: int, invert: bool, slicer_static_mask: int,
+                      slicer_static_bps: int, sync_tolerance: int = 0,
+                      method: str = "auto", unroll: int = 8,
+                      compact_window: int = 1, group: int | None = None,
+                      slicer_demap: tuple = ()):
+    """jit(shard_map(...)) of the full bank program over the mesh.
+
+    params leaves are sharded on their leading chain axis; ``frames``
+    (B, block_input_len) is sharded on the block axis over ``time``.
+    Returns (data, addr, count, packed_sync) with (C, B, ...) layouts
+    sharded over ('chain', 'time').  ``group`` bounds per-shard HBM by
+    mapping the pipeline over fixed-size block groups inside each shard.
+    """
+    n_time = mesh.shape["time"]
+    assert frames.shape[0] % n_time == 0, (frames.shape, n_time)
+    pallas = bank_mod._pallas_loop_wanted(frames.dtype)
+    fn = _bank_step_fn(
+        mesh, kind, slicer_kind, capacity, poly, invert, slicer_static_mask,
+        slicer_static_bps, sync_tolerance, method, unroll, compact_window,
+        pallas, group, slicer_demap,
+    )
+    return fn(params, frames)
+
+
+def _shard_codec(codec_key, plan: BlockPlan, max_packets: int,
+                 total_candidates: int | None, scan_cap: int,
+                 d, a, c, s):
+    """The per-shard codec body: (C_l, B_l, cap) byte streams -> fixed
+    packet buffers.  Absolute stream addresses are computed in-shard from
+    the time-axis index."""
+    from ..codecs.ax25_device import ax25_decode_blocks
+    from ..codecs.il2p_device import il2p_decode_blocks
+
+    t_idx = jax.lax.axis_index("time")
+    nb_local = d.shape[1]
+    g = t_idx * nb_local + jnp.arange(nb_local, dtype=jnp.int32)
+    offs = g * plan.block_len - plan.overlap
+    addr_abs = a + offs[None, :, None]
+    if codec_key[0] == "il2p":
+        out = il2p_decode_blocks(
+            d.astype(jnp.uint8), s, c, addr_abs,
+            max_packets=max_packets, collect_crc=codec_key[1],
+            disable_rs=codec_key[2], min_distance=codec_key[3],
+            total_candidates=total_candidates,
+            # see bank._dispatch_codec: live RS rows ~ 1/packet, budget
+            # carries a >= 25% margin; overflow -> per-block host fallback
+            total_rs_blocks=total_candidates,
+            scan_cap=scan_cap,
+        )
+    else:
+        out = ax25_decode_blocks(
+            d.astype(jnp.uint8), c, addr_abs, max_packets=max_packets,
+            min_packet_length=codec_key[1], max_packet_length=codec_key[2],
+        )
+    out["packet"] = out["packet"].astype(jnp.uint8)
+    return out
+
+
+@lru_cache(maxsize=256)
+def _codec_step_fn(mesh: Mesh, codec_key, plan: BlockPlan, max_packets: int,
+                   total_candidates: int | None, scan_cap: int):
+    from jax import shard_map
+
+    fn = shard_map(
+        partial(_shard_codec, codec_key, plan, max_packets,
+                total_candidates, scan_cap),
+        mesh=mesh,
+        in_specs=(P("chain", "time"),) * 4,
+        out_specs=P("chain", "time"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
                        plan: BlockPlan, max_packets: int = 8,
-                       total_candidates: int | None = None):
+                       total_candidates: int | None = None,
+                       scan_cap: int = 64):
     """Device codec stage per shard: (C, B, cap) sharded byte streams ->
     fixed-capacity per-shard packet buffers, still sharded over
     ('chain', 'time').  This is the device-side packet gather of SURVEY.md
     section 2.6: each shard fills its own buffers; the host (or an
     all_gather) collects fixed shapes instead of the reference's Queue
-    (pymodem.py:158-163).  Absolute stream addresses are computed in-shard
-    from the time-axis index."""
-    from ..codecs.ax25_device import ax25_decode_blocks
-    from ..codecs.il2p_device import il2p_decode_blocks
+    (pymodem.py:158-163)."""
+    fn = _codec_step_fn(mesh, codec_key, plan, max_packets,
+                        total_candidates, scan_cap)
+    return fn(data, addr, count, sync)
+
+
+@lru_cache(maxsize=256)
+def _codec_compact_fn(mesh: Mesh, codec_key, plan: BlockPlan,
+                      max_packets: int, total_candidates: int | None,
+                      scan_cap: int, meta_budget: int, len_budget: int):
+    from jax import shard_map
 
     def shard_fn(d, a, c, s):
-        t_idx = jax.lax.axis_index("time")
-        nb_local = d.shape[1]
-        g = t_idx * nb_local + jnp.arange(nb_local, dtype=jnp.int32)
-        offs = g * plan.block_len - plan.overlap
-        addr_abs = a + offs[None, :, None]
-        if codec_key[0] == "il2p":
-            out = il2p_decode_blocks(
-                d.astype(jnp.uint8), s, c, addr_abs,
-                max_packets=max_packets, collect_crc=codec_key[1],
-                disable_rs=codec_key[2], min_distance=codec_key[3],
-                total_candidates=total_candidates,
-            )
-        else:
-            out = ax25_decode_blocks(
-                d.astype(jnp.uint8), c, addr_abs, max_packets=max_packets,
-                min_packet_length=codec_key[1], max_packet_length=codec_key[2],
-            )
-        out["packet"] = out["packet"].astype(jnp.uint8)
-        return out
-
-    from jax import shard_map
+        out = _shard_codec(codec_key, plan, max_packets, total_candidates,
+                           scan_cap, d, a, c, s)
+        packed = compact_codec_out(
+            out["ok"], out["address"], out["length"], out.get("corrected"),
+            out["packet"], meta_budget, len_budget, out.get("dropped"),
+        )
+        return packed[None, None, :]
 
     fn = shard_map(
         shard_fn, mesh=mesh,
@@ -163,32 +268,267 @@ def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
         out_specs=P("chain", "time"),
         check_vma=False,
     )
-    return jax.jit(fn)(data, addr, count, sync)
+    return jax.jit(fn)
+
+
+def sharded_codec_compact_step(mesh: Mesh, codec_key, data, addr, count,
+                               sync, plan: BlockPlan, max_packets: int,
+                               total_candidates: int | None, scan_cap: int,
+                               meta_budget: int, len_budget: int):
+    """Fused per-shard codec + compaction: every shard emits one packed
+    uint8 buffer (bank.compact_codec_out layout) of identical static size,
+    stacked as (n_chain, n_time, L) -- ONE gather collects every shard's
+    packets.  The sharded analog of the single-device steady-state path."""
+    fn = _codec_compact_fn(mesh, codec_key, plan, max_packets,
+                           total_candidates, scan_cap, meta_budget,
+                           len_budget)
+    return fn(data, addr, count, sync)
+
+
+# ---------------------------------------------------------------------------
+# Device-side budget sizing (two-scalar readbacks, never a bitmap gather)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_chain", "n_time"))
+def _shard_sync_stats(sync, n_chain: int, n_time: int):
+    """(max per-shard candidate total, max candidates in any block) of the
+    global packed sync bitmap -- the reductions run on device (sharded),
+    only two scalars transfer.  Replaces gathering the whole (C, B, cap)
+    bitmap to host (the round-2 slow path)."""
+    pc = jax.lax.population_count(sync.astype(jnp.uint8)).astype(jnp.int32)
+    per_block = jnp.sum(pc, axis=-1)  # (C, B)
+    C, B = per_block.shape
+    tiles = per_block.reshape(n_chain, C // n_chain, n_time, B // n_time)
+    per_shard = jnp.sum(tiles, axis=(1, 3))
+    return jnp.stack([jnp.max(per_shard), jnp.max(per_block)])
+
+
+@partial(jax.jit, static_argnames=("n_chain", "n_time"))
+def _shard_out_stats(ok, length, n_chain: int, n_time: int):
+    """(max per-shard valid packets, global max packet length) of the codec
+    output -- sizes the per-shard compaction budgets in one readback."""
+    C, B, Pk = ok.shape
+    okr = ok.reshape(n_chain, C // n_chain, n_time, B // n_time, Pk)
+    lenr = jnp.where(okr, length.reshape(okr.shape).astype(jnp.int32), 0)
+    per_shard = jnp.sum(okr.astype(jnp.int32), axis=(1, 3, 4))
+    return jnp.stack([jnp.max(per_shard), jnp.max(lenr)])
+
+
+def _scan_cap_bucket(max_per_block: int) -> int:
+    cap = 8
+    while cap < min(max_per_block, 64):
+        cap *= 2
+    return cap
+
+
+# Steady-state per-shard codec budgets per (codec options, block geometry,
+# bank/mesh shape): a repeat call with the same workload shape skips both
+# sizing readbacks and runs demod -> codec -> compaction as one dispatch
+# chain with a SINGLE packed gather.  Undershoot is always detectable
+# (``dropped`` per block; compaction overflow from the sizes carried in
+# each shard's packed buffer), so correctness never depends on the cache.
+_SHARDED_BUDGET_CACHE: dict = {}
+
+
+def _merge_shard_compacts(packed: np.ndarray, has_corrected: bool,
+                          meta_budget: int, len_budget: int,
+                          c_local: int, b_local: int):
+    """Merge per-shard packed buffers (n_chain, n_time, L) into one global
+    compact dict (local chain/block indices -> global, byte bases offset
+    by the preceding shards' streams).
+
+    Returns (n_ok_total, shard_ok_max, max_len, comp, dropped)."""
+    n_chain, n_time = packed.shape[:2]
+    keys = [k for k in bank_mod.COMPACT_META_KEYS
+            if has_corrected or k != "corrected"]
+    merged: dict[str, list] = {k: [] for k in keys}
+    bytes_parts: list[np.ndarray] = []
+    dropped = np.zeros((n_chain * c_local, n_time * b_local), np.int32)
+    n_ok_total = 0
+    shard_ok_max = 0
+    max_len_all = 0
+    byte_off = 0
+    for i in range(n_chain):
+        for j in range(n_time):
+            sizes, comp, drp = _split_compact(
+                packed[i, j], meta_budget, len_budget, has_corrected,
+                (c_local, b_local),
+            )
+            n_ok, _total_bytes, max_len = sizes
+            shard_ok_max = max(shard_ok_max, n_ok)
+            max_len_all = max(max_len_all, max_len)
+            n_keep = min(n_ok, meta_budget)
+            for k in keys:
+                v = comp[k][:n_keep].astype(np.int64)
+                if k == "chain":
+                    v = v + i * c_local
+                elif k == "block":
+                    v = v + j * b_local
+                elif k == "base":
+                    v = v + byte_off
+                merged[k].append(v)
+            bytes_parts.append(comp["bytes"])
+            byte_off += len(comp["bytes"])
+            dropped[i * c_local:(i + 1) * c_local,
+                    j * b_local:(j + 1) * b_local] = drp
+            n_ok_total += n_keep
+    comp_all = {
+        k: (np.concatenate(v) if v else np.zeros(0, np.int64))
+        for k, v in merged.items()
+    }
+    comp_all["bytes"] = (
+        np.concatenate(bytes_parts) if bytes_parts
+        else np.zeros(0, np.uint8)
+    )
+    return n_ok_total, shard_ok_max, max_len_all, comp_all, dropped
+
+
+def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
+                          data, addr, count, sync, max_packets: int,
+                          total_candidates: int | None):
+    """Dispatch the per-shard codec + compaction; return a collect()
+    closure performing the single packed gather and the packet build.
+
+    Mirrors bank._device_codec_submit: on a budget-cache hit everything
+    dispatches now (zero sync points until collect); on a miss the exact
+    sizing reads back two scalar pairs first."""
+    from .. import profiling
+
+    n_chain, n_time = mesh.shape["chain"], mesh.shape["time"]
+    C, B = data.shape[:2]
+    c_local, b_local = C // n_chain, B // n_time
+    Lmax = (
+        1041 if codec_key[0] == "il2p" else codec_key[2] + 2
+    )
+    cache_key = (codec_key, plan, (C, B), max_packets, (n_chain, n_time))
+    cached = (
+        _SHARDED_BUDGET_CACHE.get(cache_key)
+        if total_candidates is None
+        else None
+    )
+
+    def finish(packed, budgets, seeded_from_cache):
+        cand_budget, scan_cap, meta_budget, len_budget = budgets
+        with profiling.timed("sharded_codec_transfer"):
+            flat = gather_to_host(packed)
+        n_ok, shard_ok_max, max_len, comp, dropped = _merge_shard_compacts(
+            flat, codec_key[0] == "il2p", meta_budget, len_budget,
+            c_local, b_local,
+        )
+        if shard_ok_max > meta_budget or max_len > len_budget:
+            # cached compaction budgets overflowed (workload grew): redo
+            # with exact budgets -- the cache only saves round trips
+            with profiling.timed("sharded_codec_redo"):
+                _SHARDED_BUDGET_CACHE.pop(cache_key, None)
+                meta_budget = _budget_bucket(shard_ok_max)
+                len_budget = _len_bucket(max_len, Lmax)
+                repacked = sharded_codec_compact_step(
+                    mesh, codec_key, data, addr, count, sync, plan,
+                    max_packets, cand_budget, scan_cap, meta_budget,
+                    len_budget,
+                )
+                flat = gather_to_host(repacked)
+                n_ok, shard_ok_max, max_len, comp, dropped = (
+                    _merge_shard_compacts(
+                        flat, codec_key[0] == "il2p", meta_budget,
+                        len_budget, c_local, b_local,
+                    )
+                )
+        if dropped.any():
+            # candidate/scan budgets saturated somewhere: those blocks
+            # fall back to the host FSM now; re-seed budgets next call
+            _SHARDED_BUDGET_CACHE.pop(cache_key, None)
+            arrays = tuple(
+                gather_to_host(x) for x in (data, addr, count, sync)
+            )
+        else:
+            if total_candidates is None:
+                _SHARDED_BUDGET_CACHE[cache_key] = (
+                    cand_budget, scan_cap, meta_budget, len_budget
+                )
+            arrays = (data, addr, count, sync)
+        return packets_from_compact(
+            bank, plan, comp, n_ok, dropped, *arrays
+        )
+
+    if cached is not None:
+        # speculative steady-state path: ZERO readbacks before the packed
+        # gather -- demod, codec and compaction queue back-to-back on the
+        # devices; the single gather at the end synchronizes everything
+        with profiling.timed("sharded_codec_step"):
+            packed = sharded_codec_compact_step(
+                mesh, codec_key, data, addr, count, sync, plan,
+                max_packets, *cached,
+            )
+        return lambda: finish(packed, cached, True)
+
+    def collect():
+        scan_cap = 64
+        cand_budget = total_candidates
+        if codec_key[0] == "il2p" and total_candidates is None:
+            with profiling.timed("sharded_candidate_budget"):
+                shard_total, max_pb = (
+                    int(v) for v in np.asarray(
+                        _shard_sync_stats(sync, n_chain, n_time)
+                    )
+                )
+            cand_budget = _budget_bucket(shard_total)
+            scan_cap = _scan_cap_bucket(max_pb)
+        with profiling.timed("sharded_codec_sizing"):
+            out = sharded_codec_step(
+                mesh, codec_key, data, addr, count, sync, plan,
+                max_packets=max_packets, total_candidates=cand_budget,
+                scan_cap=scan_cap,
+            )
+            shard_ok_max, max_len = (
+                int(v) for v in np.asarray(
+                    _shard_out_stats(out["ok"], out["length"],
+                                     n_chain, n_time)
+                )
+            )
+        meta_budget = _budget_bucket(shard_ok_max)
+        len_budget = _len_bucket(max_len, Lmax)
+        with profiling.timed("sharded_codec_step"):
+            packed = sharded_codec_compact_step(
+                mesh, codec_key, data, addr, count, sync, plan,
+                max_packets, cand_budget, scan_cap, meta_budget, len_budget,
+            )
+        return finish(
+            packed, (cand_budget, scan_cap, meta_budget, len_budget), False
+        )
+
+    return collect
 
 
 def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
                        block_seconds: float = 16.0, overlap_seconds: float = 6.0,
                        method: str = "auto", unroll: int = 8,
                        codec: str = "device", max_packets_per_block: int = 8,
-                       total_candidates: int | None = None):
+                       total_candidates: int | None = None,
+                       max_blocks_per_step: int | None | str = "auto"):
     """Sharded analog of bank.run_banked over an existing mesh.
 
     Bank chain counts must divide the mesh 'chain' axis size evenly (pad
     your sweep banks); the block count is rounded up to a multiple of the
     'time' axis.  Audio is framed host-side and sharded over ``time`` --
-    per-device input memory is ~n_audio/n_time plus the per-block halo.
+    per-device input memory is ~n_audio/n_time plus the per-block halo,
+    and per-shard working HBM is bounded by the in-shard block-group map
+    (``max_blocks_per_step``; 'auto' sizes groups like the single-device
+    runtime).
 
     codec: 'host' runs the reference-exact FSMs on device-computed sync
-    candidates; 'device' runs the batched on-device codecs per shard
-    (fixed-capacity packet buffers, no host byte-stream transfer) when
-    every chain in a bank shares codec options.
+    candidates; 'device' (default) runs the batched on-device codecs per
+    shard into fixed-capacity packet buffers, compacted in-shard and
+    gathered as ONE packed buffer per bank (see _sharded_codec_submit)
+    when every chain in a bank shares codec options.
     """
     from ..config import IL2PCodecSpec
     from .bank import (
         _bank_uniform_codec,
         _dedup_block_boundary,
+        auto_blocks_per_step,
         host_decode_block,
-        packets_from_device_out,
     )
 
     if dtype is None:
@@ -229,6 +569,12 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
             ),
             default=0,
         )
+        group = max_blocks_per_step
+        if group == "auto":
+            group = auto_blocks_per_step(
+                len(bank.specs) // n_chain, plan.block_input_len,
+                plan.n_blocks // n_time, dtype,
+            )
         from jax.sharding import NamedSharding
 
         # keep the host->device scatter a numpy array: device_put from host
@@ -242,32 +588,15 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
             framed, plan, cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
-            st["compact_window"],
+            st["compact_window"], group=group, slicer_demap=st["demap"],
         )
         codec_key = _bank_uniform_codec(bank) if codec == "device" else None
         if codec_key is not None:
-            if codec_key[0] == "il2p" and total_candidates is None:
-                # per-shard budget sized from the GLOBAL candidate count --
-                # conservative (each shard holds a fraction), always safe
-                from .bank import auto_candidate_budget
-
-                total_candidates = auto_candidate_budget(gather_to_host(sync))
-            out = sharded_codec_step(
-                mesh, codec_key, data, addr, count, sync, plan,
-                max_packets=max_packets_per_block,
-                total_candidates=total_candidates,
+            collect = _sharded_codec_submit(
+                mesh, bank, plan, codec_key, data, addr, count, sync,
+                max_packets_per_block, total_candidates,
             )
-            out = {k: gather_to_host(v) for k, v in out.items()}
-            if out.get("dropped") is not None and out["dropped"].any():
-                # saturated blocks fall back to the host FSM, which needs
-                # the byte streams on host
-                data, addr, count, sync = map(
-                    gather_to_host, (data, addr, count, sync)
-                )
-            for name, pkts in packets_from_device_out(
-                bank, plan, out, data, addr, count, sync
-            ).items():
-                results[name] = pkts
+            results.update(collect())
             continue
         data, addr, count, sync = map(gather_to_host, (data, addr, count, sync))
         for ci, chain in enumerate(bank.specs):
