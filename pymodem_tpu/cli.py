@@ -36,12 +36,8 @@ def main(argv=None) -> int:
     return run_decode(argv[1], argv[2])
 
 
-def run_decode(config_path: str, wav_path: str) -> int:
-    """The decode body: validate inputs, run the plan, print reports.
-
-    Shared by the one-shot CLI and the persistent server."""
-    argv = [None, config_path, wav_path]
-
+def _setup_runtime() -> str:
+    """Apply the env-driven jax config; return the runtime name."""
     import jax
 
     platform = os.environ.get("PYMODEM_TPU_PLATFORM", "")
@@ -58,14 +54,99 @@ def run_decode(config_path: str, wav_path: str) -> int:
 
     enable_compilation_cache()
 
-    from .config import load_plan
-    from .wav_io import read_wav
-
     runtime = os.environ.get("PYMODEM_TPU_RUNTIME", "auto")
     if runtime == "auto":
         # banked block-parallel programs on accelerators; the sequential
         # reference-parity path for f64/CPU runs
         runtime = "sequential" if jax.config.jax_enable_x64 else "banked"
+    return runtime
+
+
+def run_decode_many(config_path: str, wav_paths: list[str]) -> list[tuple[int, str]]:
+    """Pipelined decode of several requests sharing one config (the serve.py
+    batch path): on the banked runtime, recording i+1's device programs
+    dispatch before recording i's readback (bank.run_plan_banked_many), so
+    queued requests hide each other's readback/report round trips.  Returns
+    (exit code, captured output) per wav, output identical to run_decode.
+    Non-banked runtimes (and validation failures) fall back per request."""
+    import contextlib
+    import io
+
+    def _one(wav):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            code = run_decode(config_path, wav)
+        return code, buf.getvalue()
+
+    runtime = _setup_runtime()
+    if runtime != "banked" or len(wav_paths) == 1:
+        return [_one(w) for w in wav_paths]
+
+    import json
+
+    from .config import load_plan
+    from .runtime.bank import run_plan_banked_many
+    from .wav_io import read_wav
+
+    try:
+        with open(config_path) as fh:
+            for raw in fh:
+                if raw.strip():
+                    json.loads(raw)
+    except Exception:
+        return [(3, "Unable to open config json file.\n")] * len(wav_paths)
+    outputs: list[tuple[int, str] | None] = [None] * len(wav_paths)
+    by_rate: dict[float, list[int]] = {}
+    audios: list = [None] * len(wav_paths)
+    for i, wav in enumerate(wav_paths):
+        try:
+            rate, audio = read_wav(wav)
+        except Exception:
+            outputs[i] = (4, "Unable to open audio file.\n")
+            continue
+        audios[i] = audio
+        by_rate.setdefault(rate, []).append(i)
+    for rate, idxs in by_rate.items():
+        try:
+            plan = load_plan(config_path, rate)
+        except Exception as exc:
+            for i in idxs:
+                outputs[i] = (3, f"Unable to open config json file. ({exc})\n")
+            continue
+        start = time.time()
+        try:
+            results = run_plan_banked_many(
+                plan, [audios[i] for i in idxs], rate, depth=1
+            )
+        except Exception:  # resilient contract: retry one at a time
+            for i in idxs:
+                outputs[i] = _one(wav_paths[i])
+            continue
+        elapsed = round((time.time() - start) / len(idxs), 2)
+        for i, result in zip(idxs, results):
+            out = [f"Built {len(plan.chains)} demod chains\n",
+                   f"banked runtime: {len(plan.chains)} chains\n"]
+            for report_spec, text in zip(plan.reports, result.reports):
+                out.append(f"Generating {report_spec.name}\n")
+                out.append(text + "\n")
+            out.append(f"Elapsed time: {elapsed} seconds.\n")
+            outputs[i] = (0, "".join(out))
+    return [o if o is not None else (1, "internal error\n") for o in outputs]
+
+
+def run_decode(config_path: str, wav_path: str) -> int:
+    """The decode body: validate inputs, run the plan, print reports.
+
+    Shared by the one-shot CLI and the persistent server."""
+    argv = [None, config_path, wav_path]
+
+    import jax
+
+    runtime = _setup_runtime()
+
+    from .config import load_plan
+    from .wav_io import read_wav
+
     if runtime == "banked":
         from .runtime.bank import run_plan_banked as run_plan
     else:

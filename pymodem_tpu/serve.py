@@ -16,9 +16,16 @@ decode speed.
 Protocol: one JSON request line per connection over a unix socket --
 ``{"config": <abs path>, "wav": <abs path>}`` -> one JSON response line
 ``{"code": <exit code>, "output": <captured stdout>}``.  A request of
-``{"op": "shutdown"}`` stops the server.  Requests are served one at a
-time (the TPU tunnel serializes concurrent processes anyway; one warm
-process is the point).
+``{"op": "shutdown"}`` stops the server.
+
+Queued requests PIPELINE: after accepting one request the server drains
+any further connections already waiting (a short accept window,
+PYMODEM_TPU_SERVE_BATCH_WINDOW seconds), groups them by config file, and
+decodes each group through cli.run_decode_many -- recording i+1's device
+programs dispatch before recording i's packed readback, hiding the tunnel
+round trip and the host report build behind device compute
+(bank.run_plan_banked_many / run_banked_many).  A single queued request
+takes the one-shot path, byte-identical to the direct CLI.
 """
 
 from __future__ import annotations
@@ -30,6 +37,8 @@ import os
 import socket
 import sys
 import traceback
+
+MAX_BATCH = 16
 
 
 def client_request(sock_path: str, config: str, wav: str,
@@ -53,45 +62,119 @@ def client_shutdown(sock_path: str) -> None:
             f.readline()
 
 
-def serve(sock_path: str) -> int:
-    """Run the decode server until shutdown.  Blocks."""
+def _read_request(conn):
+    with conn.makefile("r") as f:
+        line = f.readline()
+    if not line.strip():
+        return None
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        conn.sendall(b'{"code": 1, "output": "bad request"}\n')
+        return None
+
+
+def _respond(conn, code: int, output: str) -> None:
+    try:
+        conn.sendall((json.dumps({"code": code, "output": output}) + "\n").encode())
+    except OSError:
+        pass  # client gave up; keep serving
+    finally:
+        conn.close()
+
+
+def _decode_one(config: str, wav: str) -> tuple[int, str]:
     from .cli import run_decode
 
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        try:
+            code = run_decode(config, wav)
+        except SystemExit as exc:  # defensive: cli uses returns
+            code = int(exc.code or 0)
+        except Exception:
+            traceback.print_exc(file=buf)
+            code = 1
+    return code, buf.getvalue()
+
+
+def _serve_batch(batch) -> None:
+    """Decode a drained request batch: same-config groups pipeline through
+    run_decode_many; singletons take the exact one-shot path."""
+    from .cli import run_decode_many
+
+    groups: dict[str, list] = {}
+    order: list[str] = []
+    for conn, req in batch:
+        key = req["config"]
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append((conn, req))
+    for key in order:
+        items = groups[key]
+        if len(items) == 1:
+            conn, req = items[0]
+            code, output = _decode_one(req["config"], req["wav"])
+            _respond(conn, code, output)
+            continue
+        try:
+            results = run_decode_many(key, [req["wav"] for _, req in items])
+        except Exception:
+            results = None
+        if results is None:
+            for conn, req in items:
+                code, output = _decode_one(req["config"], req["wav"])
+                _respond(conn, code, output)
+            continue
+        for (conn, _req), (code, output) in zip(items, results):
+            _respond(conn, code, output)
+
+
+def serve(sock_path: str) -> int:
+    """Run the decode server until shutdown.  Blocks."""
     try:
         os.unlink(sock_path)
     except FileNotFoundError:
         pass
+    window = float(os.environ.get("PYMODEM_TPU_SERVE_BATCH_WINDOW", "0.05"))
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(sock_path)
-    srv.listen(4)
+    srv.listen(MAX_BATCH)
     print(f"pymodem_tpu decode server listening on {sock_path}", flush=True)
     try:
         while True:
+            srv.settimeout(None)
             conn, _ = srv.accept()
-            with conn:
-                with conn.makefile("r") as f:
-                    line = f.readline()
-                if not line.strip():
-                    continue
-                try:
-                    req = json.loads(line)
-                except json.JSONDecodeError:
-                    conn.sendall(b'{"code": 1, "output": "bad request"}\n')
-                    continue
-                if req.get("op") == "shutdown":
-                    conn.sendall(b'{"code": 0, "output": "bye"}\n')
-                    return 0
-                buf = io.StringIO()
-                with contextlib.redirect_stdout(buf):
+            batch = []
+            shutdown_conn = None
+            req = _read_request(conn)
+            if req is None:
+                conn.close()
+                continue
+            if req.get("op") == "shutdown":
+                shutdown_conn = conn
+            else:
+                batch.append((conn, req))
+                # drain already-queued requests into a pipelined batch
+                srv.settimeout(window)
+                while len(batch) < MAX_BATCH and shutdown_conn is None:
                     try:
-                        code = run_decode(req["config"], req["wav"])
-                    except SystemExit as exc:  # defensive: cli uses returns
-                        code = int(exc.code or 0)
-                    except Exception:
-                        traceback.print_exc(file=buf)
-                        code = 1
-                resp = {"code": code, "output": buf.getvalue()}
-                conn.sendall((json.dumps(resp) + "\n").encode())
+                        c2, _ = srv.accept()
+                    except socket.timeout:
+                        break
+                    r2 = _read_request(c2)
+                    if r2 is None:
+                        c2.close()
+                    elif r2.get("op") == "shutdown":
+                        shutdown_conn = c2
+                    else:
+                        batch.append((c2, r2))
+            if batch:
+                _serve_batch(batch)
+            if shutdown_conn is not None:
+                _respond(shutdown_conn, 0, "bye")
+                return 0
     finally:
         srv.close()
         try:
