@@ -75,24 +75,55 @@ class BlockPlan:
     demod indices ``[b*block_len - overlap, b*block_len + block_len)``; the
     leading ``overlap`` is warm-up halo and packets are kept only when their
     stream address lands in ``(b*block_len, (b+1)*block_len]``.
+
+    ``up > 1`` models AFSK output_oversample (afsk.py:164-165): the demod
+    stream runs at ``up`` times the input rate.  ``block_len`` / ``overlap``
+    stay in demod units (multiples of ``up``, so every block starts on an
+    input-sample phase); ``trim`` is the INPUT-rate FIR trim before the
+    polyphase upsample and ``trim_post`` the demod-rate trim after it.  The
+    kaiser anti-imaging filter's half width is exactly ``10*up`` taps
+    (scipy resample_poly's design, _resample_poly_taps), so each block reads
+    10 extra input samples of real halo on each side and its in-block
+    zero-stuff + valid convolution reproduces the sequential stream sample
+    for sample (interior blocks; the recording's first/last ~10 input
+    samples see pad zeros where the sequential path zero-pads too).
     """
 
     n_audio: int
-    trim: int  # total FIR trim of the modem cascade (sum of taps-1)
+    trim: int  # input-rate FIR trim of the modem cascade (sum of taps-1)
     block_len: int
     overlap: int
+    up: int = 1  # demod-output rate multiple (AFSK output_oversample)
+    trim_post: int = 0  # demod-rate FIR trim after the upsample (up > 1)
 
     @property
     def n_demod(self) -> int:
-        return self.n_audio - self.trim
+        if self.up == 1:
+            return self.n_audio - self.trim
+        return (self.n_audio - self.trim) * self.up - self.trim_post
 
     @property
     def n_blocks(self) -> int:
         return -(-self.n_demod // self.block_len)
 
     @property
+    def stride_in(self) -> int:
+        """Input samples between consecutive block starts."""
+        return self.block_len // self.up
+
+    @property
+    def front_pad(self) -> int:
+        """Zero pad ahead of the audio (block 0's halo), input units."""
+        return self.overlap // self.up + (10 if self.up > 1 else 0)
+
+    @property
     def block_input_len(self) -> int:
-        return self.block_len + self.overlap + self.trim
+        if self.up == 1:
+            return self.block_len + self.overlap + self.trim
+        return (
+            (self.block_len + self.overlap) // self.up + self.trim
+            + 20 + -(-self.trim_post // self.up)
+        )
 
     def keep_range(self, b: int) -> tuple[int, int]:
         """(lo, hi]: stream addresses owned by block b (1-based addresses)."""
@@ -133,11 +164,11 @@ def frame_blocks(audio: jax.Array, plan: BlockPlan) -> jax.Array:
     fill the last block; tail packets are clipped by keep_range.  Traceable:
     called inside the bank jit.
     """
-    total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
-    padded = jnp.pad(audio, (plan.overlap, total - plan.overlap - plan.n_audio))
+    ext = plan.block_input_len - plan.stride_in
+    total = plan.n_blocks * plan.stride_in + ext
+    padded = jnp.pad(audio, (plan.front_pad, total - plan.front_pad - plan.n_audio))
     return overlapped_frames(
-        padded, plan.n_blocks, plan.block_len,
-        plan.block_input_len - plan.block_len,
+        padded, plan.n_blocks, plan.stride_in, ext,
     )
 
 
@@ -171,6 +202,19 @@ class Bank:
     slicer_kind: str
     stream_poly: int
     stream_invert: bool
+    up: int = 1  # demod-output rate multiple (AFSK output_oversample)
+    trim_post: int = 0  # demod-rate trim after the upsample (up > 1)
+
+
+def _modem_geometry(kind: str, p) -> tuple[int, int, int]:
+    """(input-rate trim, demod-rate trim_post, up) for the block plan.
+
+    up == 1 for every family except AFSK with output_oversample > 1
+    (afsk.py:164-165), where the output LPF acts on the upsampled stream."""
+    if kind == "afsk" and p.oversample > 1:
+        trim_pre = (p.input_bpf.shape[-1] - 1) + (p.mark_i.shape[-1] - 1)
+        return trim_pre, p.output_lpf.shape[-1] - 1, int(p.oversample)
+    return _modem_trim(kind, p), 0, 1
 
 
 def _modem_trim(kind: str, p) -> int:
@@ -259,14 +303,19 @@ def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
         key = (chain.modem.kind, _tree_shapes(params), slicer_static, poly,
                invert, rates)
         if key not in banks:
+            trim, trim_post, up = _modem_geometry(
+                chain.modem.kind, modems.build_params(chain.modem)
+            )
             banks[key] = Bank(
                 kind=chain.modem.kind,
                 specs=[],
                 params=[],
-                trim=_modem_trim(chain.modem.kind, modems.build_params(chain.modem)),
+                trim=trim,
                 slicer_kind=sl.kind,
                 stream_poly=poly,
                 stream_invert=invert,
+                up=up,
+                trim_post=trim_post,
             )
             order.append(key)
         banks[key].specs.append(chain)
@@ -324,6 +373,24 @@ def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
         corr = jnp.stack([m["mark_i"], m["mark_q"], m["space_i"], m["space_q"]])
         mi, mq, si, sq = fir_valid_multi(x, corr, method)
         diff = jnp.sqrt(mi * mi + mq * mq) - jnp.sqrt(si * si + sq * sq)
+        n_rs = m["resample_taps"].shape[-1]
+        if n_rs > 0:
+            # output_oversample (afsk.py:164-165) as an UNPADDED zero-stuff
+            # + valid conv: the block halo supplies the real neighbor
+            # samples scipy's resample_poly zero-pads for, so interior
+            # blocks reproduce the sequential stream exactly (BlockPlan
+            # docstring).  taps = 2*(10*up)+1 -> up from the static shape.
+            up = (n_rs - 1) // 20
+            n = diff.shape[-1]
+            stuffed = jnp.zeros(diff.shape[:-1] + (n * up,), diff.dtype)
+            stuffed = stuffed.at[..., ::up].set(diff)
+            y = fir_valid_nd(stuffed, m["resample_taps"], method)
+            y = fir_valid_nd(y, m["output_lpf"], method)
+            t_post = m["output_lpf"].shape[-1] - 1
+            # first output = demod index block_start; trim the ((-t_post)
+            # mod up) tail extras the ceil'd input budget over-computes
+            target = (n - 20 - -(-t_post // up)) * up
+            return y[..., :target]
         return fir_valid_nd(diff, m["output_lpf"], method)
     if kind == "fsk":
         return fir_valid_nd(blocks, m["input_lpf"], method) * m["sign"]
@@ -733,22 +800,22 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
     per-process full-audio copy)."""
     g = group
     n_groups = -(-plan.n_blocks // g)
-    total = n_groups * g * plan.block_len + plan.overlap + plan.trim
-    padded = jnp.pad(audio, (plan.overlap, total - plan.overlap - plan.n_audio))
-    win_len = (g - 1) * plan.block_len + plan.block_input_len
+    stride = plan.stride_in
+    ext = plan.block_input_len - stride
+    total = n_groups * g * stride + ext
+    padded = jnp.pad(audio, (plan.front_pad, total - plan.front_pad - plan.n_audio))
+    win_len = (g - 1) * stride + plan.block_input_len
 
     def body(start):
         win = jax.lax.dynamic_slice(padded, (start,), (win_len,))
-        frames = overlapped_frames(
-            win, g, plan.block_len, plan.block_input_len - plan.block_len
-        ).astype(dtype)
+        frames = overlapped_frames(win, g, stride, ext).astype(dtype)
         return _bank_frames_compute(
             kind, slicer_kind, params, frames, capacity, poly, invert,
             slicer_static_mask, slicer_static_bps, sync_tolerance, method,
             unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
         )
 
-    starts = jnp.arange(n_groups, dtype=jnp.int32) * (g * plan.block_len)
+    starts = jnp.arange(n_groups, dtype=jnp.int32) * (g * stride)
     outs = jax.lax.map(body, starts)  # each (G, C, g, ...)
 
     def merge(x):
@@ -836,15 +903,22 @@ def _bank_uniform_codec(bank: Bank):
 
 def default_block_plan(n_audio: int, trim: int, sample_rate: float,
                        block_seconds: float = 16.0,
-                       overlap_seconds: float = 6.0) -> BlockPlan:
+                       overlap_seconds: float = 6.0, up: int = 1,
+                       trim_post: int = 0) -> BlockPlan:
     """Pick a block layout.  ``overlap`` must cover loop acquisition plus the
-    longest expected packet duration (SURVEY.md section 7 'hard parts')."""
-    block_len = max(int(block_seconds * sample_rate), 1)
-    overlap = int(overlap_seconds * sample_rate)
-    n_demod = n_audio - trim
+    longest expected packet duration (SURVEY.md section 7 'hard parts').
+
+    ``sample_rate`` is the INPUT (recording) rate; block geometry lives in
+    demod units, ``up`` times faster, rounded to multiples of ``up`` so
+    every block starts on an input-sample phase."""
+    demod_rate = sample_rate * up
+    block_len = -(-max(int(block_seconds * demod_rate), up) // up) * up
+    overlap = int(overlap_seconds * demod_rate) // up * up
+    n_demod = (n_audio - trim) * up - trim_post
     if block_len >= n_demod:
-        return BlockPlan(n_audio, trim, max(n_demod, 1), 0)
-    return BlockPlan(n_audio, trim, block_len, overlap)
+        one = -(-max(n_demod, 1) // up) * up
+        return BlockPlan(n_audio, trim, one, 0, up, trim_post)
+    return BlockPlan(n_audio, trim, block_len, overlap, up, trim_post)
 
 
 
@@ -1087,7 +1161,8 @@ def _len_bucket(max_len: int, lmax: int) -> int:
 
 
 def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
-                         max_packets_per_block, total_candidates):
+                         max_packets_per_block, total_candidates,
+                         block0: int = 0, host_plan: BlockPlan | None = None):
     """Dispatch the on-device codec + compaction over bank outputs; return
     a collect() closure that performs the (single, packed) readback and
     builds packet objects.
@@ -1098,9 +1173,17 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
     device compute.  On a budget-cache hit the codec and compaction
     dispatch NOW (zero sync points until collect); on a miss the exact
     two-phase sizing (which must read back intermediate scalars) happens
-    inside collect()."""
+    inside collect().
+
+    ``block0``/``host_plan`` serve the streaming decoder: the device
+    program addresses blocks 0..B-1 against the fixed template ``plan``
+    (so the jit program and the budget cache key never change between
+    steps), while the host packet build shifts to global block
+    ``block0`` and clips against ``host_plan``'s real recording length."""
     from .. import profiling
 
+    if host_plan is None:
+        host_plan = plan
     cache_key = (codec_key, plan, data.shape[:2], max_packets_per_block)
     cached = (
         _CODEC_BUDGET_CACHE.get(cache_key)
@@ -1157,7 +1240,8 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                     cand_budget, scan_cap, meta_budget, len_budget
                 )
             return packets_from_compact(
-                bank, plan, comp, n_ok, dropped, data, addr, count, sync
+                bank, host_plan, comp, n_ok, dropped, data, addr, count,
+                sync, block0,
             )
 
         return collect
@@ -1196,7 +1280,8 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                 cand_budget, scan_cap, meta_budget, len_budget
             )
         return packets_from_compact(
-            bank, plan, comp, n_ok, dropped, data, addr, count, sync
+            bank, host_plan, comp, n_ok, dropped, data, addr, count, sync,
+            block0,
         )
 
     return collect
@@ -1212,10 +1297,11 @@ def _device_codec_packets(bank, plan, codec_key, data, addr, count, sync,
 
 
 def _fallback_block_packets(per_chain, bank, plan, fallback, data, addr,
-                            count, sync):
+                            count, sync, block0: int = 0):
     """Decode candidate-saturated blocks with the exact host FSM (device
     result may be incomplete there).  Reads the byte streams back only when
-    such blocks exist."""
+    such blocks exist.  ``fallback`` holds LOCAL (chain, block) indices;
+    ``block0`` shifts them to global stream position (streaming steps)."""
     if not fallback:
         return
     data, addr, count, sync = (
@@ -1226,22 +1312,26 @@ def _fallback_block_packets(per_chain, bank, plan, fallback, data, addr,
         n = int(count[ci, b])
         if n == 0:
             continue
-        offset = b * plan.block_len - plan.overlap
+        offset = (b + block0) * plan.block_len - plan.overlap
         pkts = host_decode_block(
             chain,
             data[ci, b, :n].astype(np.int64),
             addr[ci, b, :n].astype(np.int64) + offset,
             sync[ci, b],
         )
-        lo, hi = plan.keep_range(b)
+        lo, hi = plan.keep_range(b + block0)
         per_chain.setdefault(int(ci), []).extend(
             p for p in pkts if lo < p.streamaddress <= hi
         )
 
 
 def packets_from_compact(bank, plan, comp, n_ok, dropped, data, addr, count,
-                         sync):
-    """Build per-chain Packet lists from compact_codec_out readbacks."""
+                         sync, block0: int = 0):
+    """Build per-chain Packet lists from compact_codec_out readbacks.
+
+    ``block0``: global stream index of the buffers' block 0 (streaming
+    steps address blocks locally on device; addresses and keep windows
+    shift by whole blocks here on host)."""
     from .. import profiling
     from ..packets import Packet
 
@@ -1257,9 +1347,12 @@ def packets_from_compact(bank, plan, comp, n_ok, dropped, data, addr, count,
         # constructions -- the per-packet int()/tolist() form cost ~56 us
         # per packet, dominating the packet-dense PLL bench
         chain_a = comp["chain"][:n_ok].astype(np.int64)
-        block_a = comp["block"][:n_ok].astype(np.int64)
-        addr_a = comp["address"][:n_ok].astype(np.int64)
-        lo = block_a * plan.block_len
+        block_a = comp["block"][:n_ok].astype(np.int64)  # LOCAL indices
+        addr_a = (
+            comp["address"][:n_ok].astype(np.int64)
+            + block0 * plan.block_len
+        )
+        lo = (block_a + block0) * plan.block_len
         keep = (addr_a > lo) & (
             addr_a <= np.minimum(lo + plan.block_len, plan.n_demod)
         )
@@ -1294,7 +1387,8 @@ def packets_from_compact(bank, plan, comp, n_ok, dropped, data, addr, count,
                 )
         with profiling.timed("packet_fallback"):
             _fallback_block_packets(
-                per_chain, bank, plan, fallback, data, addr, count, sync
+                per_chain, bank, plan, fallback, data, addr, count, sync,
+                block0,
             )
         for pkts in per_chain.values():
             pkts.sort(key=lambda p: p.streamaddress)
@@ -1416,13 +1510,6 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    for c in chains:
-        if getattr(c.modem, "output_oversample", 1.0) > 1.0:
-            raise ValueError(
-                f"chain {c.name!r}: output_oversample > 1 changes the "
-                "demod-output rate; run it via the sequential executor "
-                "(run_plan_banked routes it there automatically)"
-            )
     if not isinstance(audio, jax.Array):
         audio = np.asarray(audio)
     results: dict[str, list] = {}
@@ -1501,7 +1588,8 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
     for bank in banks:
         sample_rate = bank.specs[0].modem.sample_rate
         plan = default_block_plan(
-            len(audio), bank.trim, sample_rate, block_seconds, overlap_seconds
+            len(audio), bank.trim, sample_rate, block_seconds,
+            overlap_seconds, bank.up, bank.trim_post,
         )
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
@@ -1515,8 +1603,11 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
         )
         group = max_blocks_per_step
         if group == "auto":
+            # post-resample intermediates are up x larger than the input
+            # block; budget HBM for the demod-rate length
             group = auto_blocks_per_step(
-                len(bank.specs), plan.block_input_len, plan.n_blocks, dtype
+                len(bank.specs), plan.block_input_len * plan.up,
+                plan.n_blocks, dtype,
             )
         with profiling.timed("device_step"):
             arrays = _dispatch_bank_step(
@@ -1569,12 +1660,6 @@ def run_banked_many(chains, audios, depth: int = 1, dtype=None,
     out = []
     queue: deque = deque()
     for audio in audios:
-        for c in chains:
-            if getattr(c.modem, "output_oversample", 1.0) > 1.0:
-                raise ValueError(
-                    f"chain {c.name!r}: output_oversample > 1 runs via the "
-                    "sequential executor, not the banked runtime"
-                )
         if not isinstance(audio, jax.Array):
             audio = np.asarray(audio)
         queue.append(_submit_banked(chains, audio, *kw))
@@ -1651,7 +1736,8 @@ def _dedup_block_boundary(packets, chain):
 def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
                      dtype=None, block_seconds: float = 16.0,
                      overlap_seconds: float = 6.0, method: str = "auto",
-                     unroll: int = 8):
+                     unroll: int = 8, codec: str = "device",
+                     max_packets_per_block: int = 8):
     """Decode SEVERAL recordings in one device program per bank.
 
     Every file's overlap-save blocks concatenate along the block axis (the
@@ -1659,6 +1745,13 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
     a whole corpus fills the lane dimension of a single dispatch.  Returns
     one {chain_name: packets} dict per input file, each with per-file
     stream addresses identical to decoding that file alone.
+
+    codec='device' (default) runs the batched on-device codec per file
+    slice against a FIXED template plan (every file shares the jit program
+    and the budget cache for its block count), with all files' codec
+    stages dispatched before any packed readback; 'host' (or mixed codec
+    options) runs the reference-exact FSMs on the device-computed sync
+    candidates.
     """
     from .. import profiling
     from ..codecs.host import il2p_seeded_sync_any
@@ -1672,10 +1765,14 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
         # uniform geometry so every file's blocks share one compiled program:
         # short files use the standard block size too (padded + keep-clipped)
         # instead of default_block_plan's shrunken single block
-        block_len = max(int(block_seconds * sample_rate), 1)
-        overlap = int(overlap_seconds * sample_rate)
+        demod_rate = sample_rate * bank.up
+        block_len = -(-max(int(block_seconds * demod_rate), bank.up)
+                      // bank.up) * bank.up
+        overlap = int(overlap_seconds * demod_rate) // bank.up * bank.up
         plans = [
-            BlockPlan(len(a), bank.trim, block_len, overlap) for a in audios
+            BlockPlan(len(a), bank.trim, block_len, overlap, bank.up,
+                      bank.trim_post)
+            for a in audios
         ]
         lin = plans[0].block_input_len
         st = _slicer_static(bank)
@@ -1688,26 +1785,53 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
             ),
             default=0,
         )
+        np_dt = np.dtype(jnp.dtype(dtype).name)
         frames_list = []
         owners = []  # (file_idx, block_idx)
         for fi, (audio, plan) in enumerate(zip(audios, plans)):
+            # frames materialize directly at the wire dtype (f32 on
+            # accelerators): half the host RAM and transfer of an f64 build
             padded = np.zeros(
-                plan.n_blocks * plan.block_len + plan.overlap + plan.trim,
-                dtype=np.float64,
+                plan.n_blocks * plan.stride_in + lin - plan.stride_in,
+                dtype=np_dt,
             )
-            padded[plan.overlap : plan.overlap + len(audio)] = audio
+            padded[plan.front_pad : plan.front_pad + len(audio)] = audio
             for b in range(plan.n_blocks):
-                s = b * plan.block_len
+                s = b * plan.stride_in
                 frames_list.append(padded[s : s + lin])
                 owners.append((fi, b))
         frames = np.stack(frames_list)
         data, addr, count, sync = bank_device_step_frames(
             bank.kind, bank.slicer_kind, bank.params,
-            jnp.asarray(frames, dtype), cap,
+            jnp.asarray(frames), cap,
             bank.stream_poly, bank.stream_invert,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
             st["compact_window"], slicer_demap=st["demap"],
         )
+        codec_key = _bank_uniform_codec(bank) if codec == "device" else None
+        if codec_key is not None:
+            # per-file device codec over block-axis slices, all files'
+            # codec + compaction dispatched before any packed readback
+            # (the fixed template plan keys one jit program and one budget
+            # cache entry per block-count shape, not per file)
+            template = BlockPlan(
+                n_audio=0, trim=bank.trim, block_len=block_len,
+                overlap=overlap, up=bank.up, trim_post=bank.trim_post,
+            )
+            collectors = []
+            start = 0
+            for fi, plan in enumerate(plans):
+                nb = plan.n_blocks
+                sl = slice(start, start + nb)
+                start += nb
+                collectors.append((fi, _device_codec_submit(
+                    bank, template, codec_key, data[:, sl], addr[:, sl],
+                    count[:, sl], sync[:, sl], max_packets_per_block,
+                    None, host_plan=plan,
+                )))
+            for fi, collect in collectors:
+                results[fi].update(collect())
+            continue
         data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
         has_cand = sync.any(axis=2) | il2p_seeded_sync_any(
             data[:, :, :4], sync_tol
@@ -1757,19 +1881,12 @@ def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
 
     if verbose:
         print(f"banked runtime: {len(plan.chains)} chains")
-    # AFSK output_oversample > 1 (afsk.py:164-165) changes the demod-output
-    # rate, which the block plan's trim arithmetic does not model; such
-    # chains run through the sequential executor instead.
     from .executor import run_chain
 
-    seq_chains = [
-        c for c in plan.chains
-        if getattr(c.modem, "output_oversample", 1.0) > 1.0
-    ]
-    banked_chains = [c for c in plan.chains if c not in seq_chains]
+    seq_chains = []
     try:
         by_name = run_banked(
-            banked_chains, audio, dtype=dtype, block_seconds=block_seconds,
+            plan.chains, audio, dtype=dtype, block_seconds=block_seconds,
             overlap_seconds=overlap_seconds, method=method, unroll=unroll,
             codec=codec,
         )
@@ -1828,16 +1945,9 @@ def run_plan_banked_many(plan, audios, sample_rate: float, depth: int = 1,
     packed readback (run_banked_many), so the readback round trip and the
     host packet/report build hide behind device compute.  Returns one
     RunResult per recording, identical to per-recording run_plan_banked."""
-    from .executor import run_chain
-
-    seq_chains = [
-        c for c in plan.chains
-        if getattr(c.modem, "output_oversample", 1.0) > 1.0
-    ]
-    banked_chains = [c for c in plan.chains if c not in seq_chains]
     try:
         per_rec = run_banked_many(
-            banked_chains, audios, depth=depth, dtype=dtype,
+            plan.chains, audios, depth=depth, dtype=dtype,
             block_seconds=block_seconds, overlap_seconds=overlap_seconds,
             method=method, unroll=unroll, codec=codec,
         )
@@ -1853,16 +1963,7 @@ def run_plan_banked_many(plan, audios, sample_rate: float, depth: int = 1,
                             unroll=unroll, codec=codec)
             for a in audios
         ]
-    results = []
-    for audio, by_name in zip(audios, per_rec):
-        for c in seq_chains:
-            try:
-                by_name[c.name] = run_chain(c, audio, dtype=dtype,
-                                            method=method, unroll=unroll)
-            except Exception as exc:  # noqa: BLE001
-                if not resilient:
-                    raise
-                print(f"skipped chain {c.name}: {type(exc).__name__}: {exc}")
-                by_name[c.name] = []
-        results.append(_finish_plan(plan, by_name, sample_rate))
-    return results
+    return [
+        _finish_plan(plan, by_name, sample_rate)
+        for by_name in per_rec
+    ]

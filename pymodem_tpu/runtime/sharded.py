@@ -81,13 +81,13 @@ def frame_blocks_host(audio: np.ndarray, plan: BlockPlan) -> np.ndarray:
     The frame matrix is what gets sharded over the ``time`` axis -- each
     device receives only its own blocks' windows (~n_audio/n_time plus the
     per-block halo), never the whole recording."""
-    total = plan.n_blocks * plan.block_len + plan.overlap + plan.trim
+    total = plan.n_blocks * plan.stride_in + plan.block_input_len - plan.stride_in
     padded = np.zeros(total, dtype=np.asarray(audio).dtype)
-    padded[plan.overlap : plan.overlap + len(audio)] = audio
+    padded[plan.front_pad : plan.front_pad + len(audio)] = audio
     stride = padded.strides[0]
     return np.lib.stride_tricks.as_strided(
         padded, (plan.n_blocks, plan.block_input_len),
-        (stride * plan.block_len, stride),
+        (stride * plan.stride_in, stride),
     ).copy()
 
 
@@ -545,20 +545,24 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
             )
         sample_rate = bank.specs[0].modem.sample_rate
         plan = bank_mod.default_block_plan(
-            len(audio), bank.trim, sample_rate, block_seconds, overlap_seconds
+            len(audio), bank.trim, sample_rate, block_seconds,
+            overlap_seconds, bank.up, bank.trim_post,
         )
-        # round blocks up to a multiple of the time axis
+        # round blocks up to a multiple of the time axis (block_len stays a
+        # multiple of up so every block starts on an input-sample phase)
         n_blocks = -(-plan.n_blocks // n_time) * n_time
+        up = plan.up
         block_len = plan.block_len
         if n_blocks != plan.n_blocks:
             plan = BlockPlan(
                 n_audio=plan.n_audio, trim=plan.trim,
-                block_len=-(-plan.n_demod // n_blocks),
-                overlap=plan.overlap,
+                block_len=-(-(-(-plan.n_demod // n_blocks)) // up) * up,
+                overlap=plan.overlap, up=up, trim_post=plan.trim_post,
             )
             while plan.n_blocks != n_blocks:  # exact tiling
-                block_len = plan.block_len + (1 if plan.n_blocks > n_blocks else -1)
-                plan = BlockPlan(plan.n_audio, plan.trim, block_len, plan.overlap)
+                block_len = plan.block_len + (up if plan.n_blocks > n_blocks else -up)
+                plan = BlockPlan(plan.n_audio, plan.trim, block_len,
+                                 plan.overlap, up, plan.trim_post)
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
         sync_tol = max(

@@ -68,12 +68,15 @@ class StreamDecoder:
     def __init__(self, chains, sample_rate: float, dtype=None,
                  block_seconds: float = 8.0, overlap_seconds: float = 6.0,
                  blocks_per_step: int = 4, method: str = "auto",
-                 unroll: int = 8):
+                 unroll: int = 8, codec: str = "device",
+                 max_packets_per_block: int = 8):
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
         self.method = method
         self.unroll = unroll
+        self.codec = codec
+        self.max_packets_per_block = max_packets_per_block
         self.blocks_per_step = blocks_per_step
         self.block_len = max(int(block_seconds * sample_rate), 1)
         self.overlap = int(overlap_seconds * sample_rate)
@@ -81,6 +84,12 @@ class StreamDecoder:
         self._consumed = 0  # absolute index of self._audio[0]
         self._banks = []
         for bank in bank_mod.group_chains(list(chains), dtype):
+            if bank.up != 1:
+                raise ValueError(
+                    f"chain {bank.specs[0].name!r}: output_oversample > 1 "
+                    "is supported by run_banked/run_plan_banked but not by "
+                    "the streaming decoder (its feed carry is input-rate)"
+                )
             plan = BlockPlan(
                 n_audio=0, trim=bank.trim, block_len=self.block_len,
                 overlap=self.overlap,
@@ -114,20 +123,21 @@ class StreamDecoder:
 
     def _frames_for(self, state: _BankState, first_block: int, n_blocks: int,
                     pad_to: int | None = None):
-        """Gather (n_blocks, Lin) input windows from the retained audio."""
+        """Gather (n_blocks, Lin) input windows from the retained audio:
+        one zero-padded span copy + a strided view (no per-block loop)."""
         lin = state.plan.block_input_len
-        out = np.zeros((n_blocks, lin), dtype=np.float64)
-        for i in range(n_blocks):
-            b = first_block + i
-            a0 = b * self.block_len - self.overlap  # absolute input start
-            for_block = np.zeros(lin, dtype=np.float64)
-            lo = max(a0, 0)
-            hi = min(a0 + lin, self._total)
-            if hi > lo:
-                rel = lo - self._consumed
-                for_block[lo - a0 : hi - a0] = self._audio[rel : rel + (hi - lo)]
-            out[i] = for_block
-        return out
+        a0 = first_block * self.block_len - self.overlap  # absolute start
+        span = (n_blocks - 1) * self.block_len + lin
+        buf = np.zeros(span, dtype=np.float64)
+        lo = max(a0, 0)
+        hi = min(a0 + span, self._total)
+        if hi > lo:
+            rel = lo - self._consumed
+            buf[lo - a0 : hi - a0] = self._audio[rel : rel + (hi - lo)]
+        stride = buf.strides[0]
+        return np.lib.stride_tricks.as_strided(
+            buf, (n_blocks, lin), (stride * self.block_len, stride)
+        ).copy()
 
     def _decode_blocks(self, state: _BankState, first_block: int,
                        n_blocks: int, final: bool):
@@ -149,6 +159,27 @@ class StreamDecoder:
             pallas=_pallas_loop_wanted(self.dtype),
             slicer_demap=state.static["demap"],
         )
+        codec_key = (
+            bank_mod._bank_uniform_codec(state.bank)
+            if self.codec == "device"
+            else None
+        )
+        if codec_key is not None:
+            # device codec + compaction against the FIXED template plan
+            # (block indices local to this step, so the jit program and
+            # the codec-budget cache key are identical every feed);
+            # packets globalize by block0 and clip against the real
+            # stream length on host (bank._device_codec_submit)
+            host_plan = BlockPlan(
+                n_audio=self._total, trim=state.bank.trim,
+                block_len=self.block_len, overlap=self.overlap,
+            )
+            collect = bank_mod._device_codec_submit(
+                state.bank, state.plan, codec_key, data, addr, count, sync,
+                self.max_packets_per_block, None, block0=first_block,
+                host_plan=host_plan,
+            )
+            return collect()
         data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
         n_demod_total = self._total - state.plan.trim
         out: dict[str, list] = {}

@@ -103,14 +103,19 @@ def test_multi_file_batch_matches_per_file(fixture_audio):
     rate, audio = fixture_audio
     plan = load_plan(path, rate)
     chains = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc Correlator"]
-    files = [audio[: rate * 60], audio[rate * 30 : rate * 90]]
-    batched = run_banked_files(chains, files)
+    # different lengths: per-file block counts (and device-codec template
+    # program shapes) differ; the short third file exercises keep-clipping
+    files = [audio[: rate * 60], audio[rate * 30 : rate * 90],
+             audio[: rate * 40]]
+    batched = run_banked_files(chains, files)  # device codec default
+    hosted = run_banked_files(chains, files, codec="host")
     for fi, f_audio in enumerate(files):
         solo = run_banked(chains, f_audio)
         for name in solo:
             a = [(p.streamaddress, list(p.data)) for p in solo[name]]
             b = [(p.streamaddress, list(p.data)) for p in batched[fi][name]]
-            assert a == b, (fi, name)
+            c = [(p.streamaddress, list(p.data)) for p in hosted[fi][name]]
+            assert a == b == c, (fi, name)
         assert any(batched[fi].values())
 
 
@@ -207,3 +212,49 @@ def test_grouped_dispatch_matches_single(fixture_audio, codec):
         b = [(p.streamaddress, list(p.data)) for p in grouped[name]]
         assert a == b, name
     assert any(one.values())
+
+
+@pytest.mark.parametrize("up", [2, 3])
+def test_oversample_banked_matches_executor(rng, up):
+    """output_oversample chains (afsk.py:164-165) through the banked
+    runtime: BlockPlan models the demod-rate change (up/trim_post), the
+    in-block zero-stuff + valid resample reproduces scipy's padded
+    resample_poly in the interior, and packets match the sequential
+    executor at exact demod-rate stream addresses -- across multiple
+    blocks, the grouped dispatch, and the device codec.  up=3 exercises
+    the tail-trim arithmetic with trim_post % up != 0."""
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+    )
+    from pymodem_tpu.runtime.bank import run_banked
+    from pymodem_tpu.runtime.executor import run_chain
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    rate = 8000.0
+    sent = fx.payloads(rng, count=6, size=30)
+    line = fx.il2p_line_bits(sent, polynomial=0x3, invert=False,
+                             gap_bits=4000)
+    audio = mod.afsk_modulate(line, rate, 1200.0, 1200.0, 2200.0)
+    modem = AFSKModemSpec(sample_rate=rate, output_oversample=float(up))
+    chain = ChainSpec(
+        name=f"afsk-ovs{up}",
+        modem=modem,
+        slicer=BinarySlicerSpec(sample_rate=rate * up, symbol_rate=1200.0,
+                                lock_rate=0.75),
+        stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+        codec=IL2PCodecSpec(ident=f"ovs{up}"),
+    )
+    seq = [(p.streamaddress, bytes(p.data)) for p in run_chain(chain, audio)]
+    assert len(seq) >= 6
+    for codec, group in (("host", None), ("device", None), ("device", 2)):
+        banked = run_banked([chain], audio, codec=codec, block_seconds=2.0,
+                            overlap_seconds=1.5, max_blocks_per_step=group)
+        got = [
+            (p.streamaddress, bytes(p.data)) for p in banked[chain.name]
+        ]
+        assert got == seq, (codec, group)

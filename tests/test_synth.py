@@ -231,12 +231,17 @@ def test_afsk_output_oversample_roundtrip(rng):
         stream=LFSRStreamSpec(polynomial=0x3, invert=False),
         codec=IL2PCodecSpec(ident="afsk-ovs2"),
     )
-    got = _decoded_payloads(run_chain(chain, audio))
+    seq = run_chain(chain, audio)
+    got = _decoded_payloads(seq)
     assert got == sent
 
-    # the banked runtime refuses (trim arithmetic assumes rate-preserving
-    # demod) and run_plan_banked routes such chains to the executor
+    # the banked runtime models the rate change (BlockPlan up/trim_post):
+    # same packets at the same demod-rate stream addresses as the executor
     from pymodem_tpu.runtime.bank import run_banked
 
-    with pytest.raises(ValueError, match="output_oversample"):
-        run_banked([chain], audio)
+    banked = run_banked([chain], audio, block_seconds=2.0,
+                        overlap_seconds=1.5)[chain.name]
+    assert (
+        [(p.streamaddress, bytes(p.data)) for p in banked]
+        == [(p.streamaddress, bytes(p.data)) for p in seq]
+    )
