@@ -24,6 +24,16 @@ def enable(flag: bool = True) -> None:
     ENABLED = flag
 
 
+def reset() -> None:
+    """Clear collected stage timings/counts (tests assert on counts)."""
+    _STAGES.clear()
+    _COUNTS.clear()
+
+
+def counts() -> dict[str, int]:
+    return dict(_COUNTS)
+
+
 @contextlib.contextmanager
 def timed(name: str):
     if not ENABLED:
