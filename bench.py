@@ -154,6 +154,27 @@ def main() -> int:
     )
     msps_pipe = len(stream) * pll_samples / med_pipe / 1e6
 
+    # streaming decode: the same 64-chain AFSK bank fed in 2-minute chunks
+    # through StreamDecoder (device codec + budget cache; one packed
+    # readback per step group in steady state) -- the bounded-memory path
+    # a live receiver would run
+    from pymodem_tpu.runtime.stream import StreamDecoder
+
+    audio_np = np.tile(audio, reps)[: HOUR_SECONDS * rate]
+    chunk = 120 * rate
+
+    def stream_hour():
+        dec = StreamDecoder(chains, rate, blocks_per_step=16)
+        n = 0
+        for s in range(0, len(audio_np), chunk):
+            n += len(dec.feed(audio_np[s : s + chunk]))
+        n += len(dec.flush())
+        return n
+
+    n_stream = stream_hour()
+    med_stream, _ = _measure(stream_hour, reps=3)
+    msps_stream = chain_samples / med_stream / 1e6
+
     # remaining modem families on synthesized on-air audio (same sweep-bank
     # pattern; the reference has no fixture WAVs for these)
     family_stats = {}
@@ -167,10 +188,15 @@ def main() -> int:
         )
         fam_audio = jax.device_put(fam_audio)
         fam_samples = len(fam_chains) * len(fam_audio)
-        counts = run_banked(fam_chains, fam_audio, codec="device")
+        # 2 s blocks: at 96 kHz rates an 8-chain bank only reaches the
+        # ~1k live lanes the kernels need (and HBM-sane lane padding,
+        # bank._lane_path_ok) with short blocks x large groups
+        fam_kw = dict(codec="device", block_seconds=2.0,
+                      overlap_seconds=1.5)
+        counts = run_banked(fam_chains, fam_audio, **fam_kw)
         n_fam = sum(len(v) for v in counts.values())
         med_fam, _ = _measure(
-            lambda: run_banked(fam_chains, fam_audio, codec="device"),
+            lambda: run_banked(fam_chains, fam_audio, **fam_kw),
             reps=3,
         )
         family_stats[fam] = {
@@ -201,6 +227,8 @@ def main() -> int:
         "pll_pipelined_msps": round(msps_pipe, 2),
         "pll_pipelined_recordings": PIPELINE_DEPTH_RECORDINGS,
         "pll_pipelined_packets": n_pipe,
+        "stream_msps": round(msps_stream, 2),
+        "stream_packets": n_stream,
     }
     for fam, stats in family_stats.items():
         result[f"{fam}_msps"] = stats["msps"]

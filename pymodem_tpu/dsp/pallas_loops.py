@@ -376,7 +376,23 @@ def _iq_loop_kernel(*refs, tc: int, kind: str, wavetable_size: int, rt: int,
             mag2 = af * af + bf * bf
             gate = (mag2 >= jnp.float32(0.15 * 0.15) * gf * gf) \
                 & (mag2 <= jnp.float32(0.76 * 0.76) * gf * gf)
-            deg = jnp.arctan2(bf, af) * jnp.float32(180.0 / np.pi)
+            # first-quadrant atan2 (the fold above leaves a, b >= 0) as an
+            # odd minimax polynomial: Mosaic has no atan2 lowering, and the
+            # poly's ~1e-7 rad error is below f32 atan2's own rounding at
+            # the PD's round() quantization (~4.5 deg steps).  (0, 0) only
+            # occurs outside the magnitude gate, where err is forced to 0.
+            swap = bf > af
+            tq = jnp.where(swap, af, bf) / jnp.where(swap, bf, af)
+            s = tq * tq
+            atan = tq * (
+                jnp.float32(0.99997726) + s * (
+                    jnp.float32(-0.33262347) + s * (
+                        jnp.float32(0.19354346) + s * (
+                            jnp.float32(-0.11643287) + s * (
+                                jnp.float32(0.05265332)
+                                + s * jnp.float32(-0.01172120))))))
+            rad = jnp.where(swap, jnp.float32(np.pi / 2) - atan, atan)
+            deg = rad * jnp.float32(180.0 / np.pi)
             err = jnp.round(pg(10, g) * (deg - jnp.float32(45.0)))
             err = jnp.where(gate, err, jnp.float32(0.0))
             y = (pg(3, g) * err + pg(3, g) * iir_x) + pg(4, g) * iir_y
@@ -464,6 +480,12 @@ def iq_loop_lanes_pallas(xs, lane_params: jax.Array, kind: str,
         out_shape=[jax.ShapeDtypeStruct((R, Tp, LANE), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((n_state, rt, LANE), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
+        # mpsk carries 2 in + 2 out blocks plus the PD temporaries; the
+        # default 16 MB scoped-vmem budget overflows by ~20 KB on v5e
+        # (auto_tile sizes for the 1-in families).  v5e has 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
     )(pr, *xrs)
 
     def unpack(o):

@@ -441,6 +441,27 @@ def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
     raise ValueError(kind)
 
 
+def _lane_path_ok(n_lanes: int, t_len: int) -> bool:
+    """HBM sanity for the Pallas lane kernels: they tile lanes in units of
+    8 sublanes x 128 lanes = 1024, and XLA materializes the lane-padded
+    (Lp, T) arrays in HBM before the kernel.  A few-lane bank over
+    multi-megasample blocks (e.g. 8 chains x 2 blocks at 96 kHz) would pad
+    16 -> 1024 lanes and allocate ~8 GB per temp (observed v5e OOM), while
+    gaining nothing -- under ~1k live lanes the VPU is starved either way.
+    Refuse the lane path when padding is both heavily wasteful and large;
+    the scan engines handle any geometry.  A forced engine
+    (PYMODEM_TPU_LOOP_ENGINE=pallas -- parity tests in interpret mode,
+    where no real HBM is at stake) bypasses the guard."""
+    import os
+
+    if os.environ.get("PYMODEM_TPU_LOOP_ENGINE") == "pallas":
+        return True
+    lanes_padded = -(-max(n_lanes, 1) // 1024) * 1024
+    if lanes_padded <= 2 * n_lanes:
+        return True  # modest padding: auto_blocks_per_step governs HBM
+    return lanes_padded * t_len * 4 <= 1_500_000_000
+
+
 def _pallas_loop_wanted(dtype) -> bool:
     import os
 
@@ -669,7 +690,10 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
 
     if pallas is None:
         pallas = _pallas_loop_wanted(blocks.dtype)
-    lanes = pallas and (
+    n_chains = int(np.shape(params["sps"])[0])  # static shape, trace-safe
+    lanes = pallas and _lane_path_ok(
+        n_chains * blocks.shape[0], blocks.shape[1]
+    ) and (
         slicer_kind == "binary"
         or (slicer_kind in ("quadrature", "4level") and bool(slicer_demap))
     )

@@ -228,3 +228,54 @@ def test_sharded_steady_state_single_gather(fixture_audio, sweep_chains):
             == [(p.streamaddress, list(p.data)) for p in again[name]]
         )
     assert any(first.values())
+
+
+def test_oversample_sharded_matches_single(rng):
+    """output_oversample chains shard too: BlockPlan's input-domain framing
+    (stride_in/front_pad) is what frame_blocks_host shards over 'time', so
+    the rate-changing demod needs no special casing in the mesh path."""
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+    )
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    rate = 8000.0
+    sent = fx.payloads(rng, count=6, size=30)
+    line = fx.il2p_line_bits(sent, polynomial=0x3, invert=False,
+                             gap_bits=4000)
+    audio = mod.afsk_modulate(line, rate, 1200.0, 1200.0, 2200.0)
+    chains = [
+        ChainSpec(
+            name=f"ovs{i}",
+            modem=AFSKModemSpec(sample_rate=rate, output_oversample=2.0,
+                                space_gain=1.0 + 0.05 * i),
+            slicer=BinarySlicerSpec(sample_rate=2 * rate, symbol_rate=1200.0,
+                                    lock_rate=0.75),
+            stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+            codec=IL2PCodecSpec(ident=f"ovs{i}"),
+        )
+        for i in range(2)
+    ]
+    mesh = make_mesh(2, 4)
+    single = run_banked(chains, audio, block_seconds=2.0,
+                        overlap_seconds=1.5)
+    sharded = run_banked_sharded(chains, audio, mesh, block_seconds=2.0,
+                                 overlap_seconds=1.5)
+    # the mesh path rounds n_blocks up to the time axis, shifting block
+    # boundaries: identical packets may decode at a byte phase within the
+    # documented dedup window (CLAUDE.md architecture invariants)
+    tol = 16 * (2 * rate) / 1200.0
+    total = 0
+    for name in single:
+        a = [(p.streamaddress, list(p.data)) for p in single[name]]
+        b = [(p.streamaddress, list(p.data)) for p in sharded[name]]
+        assert len(a) == len(b)
+        for (aa, da), (ab, db) in zip(a, b):
+            assert da == db and abs(aa - ab) <= tol
+        total += len(b)
+    assert total >= 6
