@@ -1116,9 +1116,14 @@ def compact_codec_out(ok, address, length, corrected, packet,
 # codec program) and runs demod -> codec -> compaction as one uninterrupted
 # dispatch chain with a SINGLE readback at the end.  Safe because every
 # undershoot is detectable: candidate/scan saturation surfaces per block in
-# ``dropped`` (host-FSM fallback), and compaction overflow is caught from
-# the exact sizes carried in the packed readback (redo with exact budgets).
+# ``dropped`` (device-side budget escalation, then host-FSM fallback past
+# MP_CAP), and compaction overflow is caught from the exact sizes carried
+# in the packed readback (redo with exact budgets).
 _CODEC_BUDGET_CACHE: dict = {}
+
+# terminal per-block packet-slot budget for device-side escalation; blocks
+# still saturated at MP_CAP decode via the host FSM (packets_from_compact)
+MP_CAP = 64
 
 
 def _dispatch_codec(codec_key, data, addr, count, sync, plan,
@@ -1203,7 +1208,16 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
     program addresses blocks 0..B-1 against the fixed template ``plan``
     (so the jit program and the budget cache key never change between
     steps), while the host packet build shifts to global block
-    ``block0`` and clips against ``host_plan``'s real recording length."""
+    ``block0`` and clips against ``host_plan``'s real recording length.
+
+    Packet-dense traffic that saturates a per-block budget (``dropped``)
+    ESCALATES on device -- packet slots, acceptance-scan cap and (when
+    auto-sized) the candidate budget double and the codec re-runs --
+    rather than host-FSM decoding the saturated blocks (measured 2.6 ms
+    per block of pure-Python IL2P, ~50x the whole device program on a
+    dense FSK bank).  The learned budgets land in the cache, so repeat
+    calls dispatch at the right sizes immediately; the host fallback
+    remains only as the terminal path past MP_CAP."""
     from .. import profiling
 
     if host_plan is None:
@@ -1214,15 +1228,64 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         if total_candidates is None
         else None
     )
+
+    def run_exact(mp, cand_budget, scan_cap):
+        with profiling.timed("device_codec_step"):
+            out = _dispatch_codec(
+                codec_key, data, addr, count, sync, plan, mp, cand_budget,
+                scan_cap,
+            )
+        with profiling.timed("codec_sizes"):
+            n_ok, _total_bytes, max_len = map(
+                int, np.asarray(_codec_out_sizes(out["ok"], out["length"]))
+            )
+        with profiling.timed("device_codec_compact"):
+            len_budget = _len_bucket(max_len, out["packet"].shape[-1])
+            meta_budget = _budget_bucket(n_ok)
+            packed = compact_codec_out(
+                out["ok"], out["address"], out["length"],
+                out.get("corrected"), out["packet"], meta_budget,
+                len_budget, out.get("dropped"),
+            )
+        with profiling.timed("device_codec_transfer"):
+            flat = np.asarray(packed)
+        _sizes, comp, dropped = _read_compact(out, meta_budget, len_budget,
+                                              flat)
+        return n_ok, meta_budget, len_budget, comp, dropped
+
+    def resolve(mp, cand_budget, scan_cap, n_ok, meta_budget, len_budget,
+                comp, dropped):
+        while dropped is not None and dropped.any() and mp < MP_CAP:
+            with profiling.timed("device_codec_escalate"):
+                mp = mp * 2
+                scan_cap = min(scan_cap * 2, 128)
+                if total_candidates is None and cand_budget is not None:
+                    cand_budget = cand_budget * 2
+                n_ok, meta_budget, len_budget, comp, dropped = run_exact(
+                    mp, cand_budget, scan_cap
+                )
+        if total_candidates is None and not (
+            dropped is not None and dropped.any()
+        ):
+            _CODEC_BUDGET_CACHE[cache_key] = (
+                mp, cand_budget, scan_cap, meta_budget, len_budget
+            )
+        else:
+            _CODEC_BUDGET_CACHE.pop(cache_key, None)
+        return packets_from_compact(
+            bank, host_plan, comp, n_ok, dropped, data, addr, count, sync,
+            block0,
+        )
+
     if cached is not None:
         # speculative steady-state path: ZERO readbacks before the packed
         # result -- demod, codec, and compaction queue back-to-back on the
         # device and the single transfer at the end synchronizes everything
-        cand_budget, scan_cap, meta_budget0, len_budget0 = cached
+        mp0, cand_budget, scan_cap, meta_budget0, len_budget0 = cached
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
-                codec_key, data, addr, count, sync, plan,
-                max_packets_per_block, cand_budget, scan_cap,
+                codec_key, data, addr, count, sync, plan, mp0, cand_budget,
+                scan_cap,
             )
         with profiling.timed("device_codec_compact"):
             packed = compact_codec_out(
@@ -1254,19 +1317,8 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                     _, comp, dropped = _read_compact(
                         out, meta_budget, len_budget, np.asarray(repacked)
                     )
-            if dropped is not None and dropped.any():
-                # cached candidate/scan budgets saturated somewhere: this
-                # call already fell back to the host FSM for those blocks;
-                # re-seed exact budgets on the next call
-                _CODEC_BUDGET_CACHE.pop(cache_key, None)
-            else:
-                _CODEC_BUDGET_CACHE[cache_key] = (
-                    cand_budget, scan_cap, meta_budget, len_budget
-                )
-            return packets_from_compact(
-                bank, host_plan, comp, n_ok, dropped, data, addr, count,
-                sync, block0,
-            )
+            return resolve(mp0, cand_budget, scan_cap, n_ok, meta_budget,
+                           len_budget, comp, dropped)
 
         return collect
 
@@ -1276,37 +1328,12 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         if codec_key[0] == "il2p" and total_candidates is None:
             with profiling.timed("candidate_budget"):
                 cand_budget, scan_cap = auto_candidate_budget_device(sync)
-        with profiling.timed("device_codec_step"):
-            out = _dispatch_codec(
-                codec_key, data, addr, count, sync, plan,
-                max_packets_per_block, cand_budget, scan_cap,
-            )
-        with profiling.timed("codec_sizes"):
-            n_ok, _total_bytes, max_len = map(
-                int, np.asarray(_codec_out_sizes(out["ok"], out["length"]))
-            )
-        with profiling.timed("device_codec_compact"):
-            len_budget = _len_bucket(max_len, out["packet"].shape[-1])
-            meta_budget = _budget_bucket(n_ok)
-            packed = compact_codec_out(
-                out["ok"], out["address"], out["length"],
-                out.get("corrected"), out["packet"], meta_budget,
-                len_budget, out.get("dropped"),
-            )
-        with profiling.timed("device_codec_transfer"):
-            flat = np.asarray(packed)
-        _sizes, comp, dropped = _read_compact(out, meta_budget, len_budget,
-                                              flat)
-        if total_candidates is None and not (
-            dropped is not None and dropped.any()
-        ):
-            _CODEC_BUDGET_CACHE[cache_key] = (
-                cand_budget, scan_cap, meta_budget, len_budget
-            )
-        return packets_from_compact(
-            bank, host_plan, comp, n_ok, dropped, data, addr, count, sync,
-            block0,
+        mp = max_packets_per_block
+        n_ok, meta_budget, len_budget, comp, dropped = run_exact(
+            mp, cand_budget, scan_cap
         )
+        return resolve(mp, cand_budget, scan_cap, n_ok, meta_budget,
+                       len_budget, comp, dropped)
 
     return collect
 

@@ -408,77 +408,11 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         else None
     )
 
-    def finish(packed, budgets, seeded_from_cache):
-        cand_budget, scan_cap, meta_budget, len_budget = budgets
-        with profiling.timed("sharded_codec_transfer"):
-            flat = gather_to_host(packed)
-        n_ok, shard_ok_max, max_len, comp, dropped = _merge_shard_compacts(
-            flat, codec_key[0] == "il2p", meta_budget, len_budget,
-            c_local, b_local,
-        )
-        if shard_ok_max > meta_budget or max_len > len_budget:
-            # cached compaction budgets overflowed (workload grew): redo
-            # with exact budgets -- the cache only saves round trips
-            with profiling.timed("sharded_codec_redo"):
-                _SHARDED_BUDGET_CACHE.pop(cache_key, None)
-                meta_budget = _budget_bucket(shard_ok_max)
-                len_budget = _len_bucket(max_len, Lmax)
-                repacked = sharded_codec_compact_step(
-                    mesh, codec_key, data, addr, count, sync, plan,
-                    max_packets, cand_budget, scan_cap, meta_budget,
-                    len_budget,
-                )
-                flat = gather_to_host(repacked)
-                n_ok, shard_ok_max, max_len, comp, dropped = (
-                    _merge_shard_compacts(
-                        flat, codec_key[0] == "il2p", meta_budget,
-                        len_budget, c_local, b_local,
-                    )
-                )
-        if dropped.any():
-            # candidate/scan budgets saturated somewhere: those blocks
-            # fall back to the host FSM now; re-seed budgets next call
-            _SHARDED_BUDGET_CACHE.pop(cache_key, None)
-            arrays = tuple(
-                gather_to_host(x) for x in (data, addr, count, sync)
-            )
-        else:
-            if total_candidates is None:
-                _SHARDED_BUDGET_CACHE[cache_key] = (
-                    cand_budget, scan_cap, meta_budget, len_budget
-                )
-            arrays = (data, addr, count, sync)
-        return packets_from_compact(
-            bank, plan, comp, n_ok, dropped, *arrays
-        )
-
-    if cached is not None:
-        # speculative steady-state path: ZERO readbacks before the packed
-        # gather -- demod, codec and compaction queue back-to-back on the
-        # devices; the single gather at the end synchronizes everything
-        with profiling.timed("sharded_codec_step"):
-            packed = sharded_codec_compact_step(
-                mesh, codec_key, data, addr, count, sync, plan,
-                max_packets, *cached,
-            )
-        return lambda: finish(packed, cached, True)
-
-    def collect():
-        scan_cap = 64
-        cand_budget = total_candidates
-        if codec_key[0] == "il2p" and total_candidates is None:
-            with profiling.timed("sharded_candidate_budget"):
-                shard_total, max_pb = (
-                    int(v) for v in np.asarray(
-                        _shard_sync_stats(sync, n_chain, n_time)
-                    )
-                )
-            cand_budget = _budget_bucket(shard_total)
-            scan_cap = _scan_cap_bucket(max_pb)
+    def run_exact(mp, cand_budget, scan_cap):
         with profiling.timed("sharded_codec_sizing"):
             out = sharded_codec_step(
                 mesh, codec_key, data, addr, count, sync, plan,
-                max_packets=max_packets, total_candidates=cand_budget,
+                max_packets=mp, total_candidates=cand_budget,
                 scan_cap=scan_cap,
             )
             shard_ok_max, max_len = (
@@ -492,11 +426,106 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         with profiling.timed("sharded_codec_step"):
             packed = sharded_codec_compact_step(
                 mesh, codec_key, data, addr, count, sync, plan,
-                max_packets, cand_budget, scan_cap, meta_budget, len_budget,
+                mp, cand_budget, scan_cap, meta_budget, len_budget,
             )
-        return finish(
-            packed, (cand_budget, scan_cap, meta_budget, len_budget), False
+        with profiling.timed("sharded_codec_transfer"):
+            flat = gather_to_host(packed)
+        n_ok, _s, _m, comp, dropped = _merge_shard_compacts(
+            flat, codec_key[0] == "il2p", meta_budget, len_budget,
+            c_local, b_local,
         )
+        return n_ok, meta_budget, len_budget, comp, dropped
+
+    def resolve(mp, cand_budget, scan_cap, n_ok, meta_budget, len_budget,
+                comp, dropped):
+        # per-block budget saturation escalates ON DEVICE, like
+        # bank._device_codec_submit; host FSM only past MP_CAP
+        while dropped.any() and mp < bank_mod.MP_CAP:
+            with profiling.timed("sharded_codec_escalate"):
+                mp = mp * 2
+                scan_cap = min(scan_cap * 2, 128)
+                if total_candidates is None and cand_budget is not None:
+                    cand_budget = cand_budget * 2
+                n_ok, meta_budget, len_budget, comp, dropped = run_exact(
+                    mp, cand_budget, scan_cap
+                )
+        if dropped.any():
+            _SHARDED_BUDGET_CACHE.pop(cache_key, None)
+            arrays = tuple(
+                gather_to_host(x) for x in (data, addr, count, sync)
+            )
+        else:
+            if total_candidates is None:
+                _SHARDED_BUDGET_CACHE[cache_key] = (
+                    mp, cand_budget, scan_cap, meta_budget, len_budget
+                )
+            arrays = (data, addr, count, sync)
+        return packets_from_compact(
+            bank, plan, comp, n_ok, dropped, *arrays
+        )
+
+    if cached is not None:
+        # speculative steady-state path: ZERO readbacks before the packed
+        # gather -- demod, codec and compaction queue back-to-back on the
+        # devices; the single gather at the end synchronizes everything
+        mp0, cand_budget, scan_cap, meta_budget0, len_budget0 = cached
+        with profiling.timed("sharded_codec_step"):
+            packed = sharded_codec_compact_step(
+                mesh, codec_key, data, addr, count, sync, plan,
+                mp0, cand_budget, scan_cap, meta_budget0, len_budget0,
+            )
+
+        def collect_cached():
+            meta_budget, len_budget = meta_budget0, len_budget0
+            with profiling.timed("sharded_codec_transfer"):
+                flat = gather_to_host(packed)
+            n_ok, shard_ok_max, max_len, comp, dropped = (
+                _merge_shard_compacts(
+                    flat, codec_key[0] == "il2p", meta_budget, len_budget,
+                    c_local, b_local,
+                )
+            )
+            if shard_ok_max > meta_budget or max_len > len_budget:
+                # cached compaction budgets overflowed (workload grew):
+                # redo with exact budgets -- the cache only saves trips
+                with profiling.timed("sharded_codec_redo"):
+                    _SHARDED_BUDGET_CACHE.pop(cache_key, None)
+                    meta_budget = _budget_bucket(shard_ok_max)
+                    len_budget = _len_bucket(max_len, Lmax)
+                    repacked = sharded_codec_compact_step(
+                        mesh, codec_key, data, addr, count, sync, plan,
+                        mp0, cand_budget, scan_cap, meta_budget,
+                        len_budget,
+                    )
+                    flat = gather_to_host(repacked)
+                    n_ok, shard_ok_max, max_len, comp, dropped = (
+                        _merge_shard_compacts(
+                            flat, codec_key[0] == "il2p", meta_budget,
+                            len_budget, c_local, b_local,
+                        )
+                    )
+            return resolve(mp0, cand_budget, scan_cap, n_ok, meta_budget,
+                           len_budget, comp, dropped)
+
+        return collect_cached
+
+    def collect():
+        scan_cap = 64
+        cand_budget = total_candidates
+        if codec_key[0] == "il2p" and total_candidates is None:
+            with profiling.timed("sharded_candidate_budget"):
+                shard_total, max_pb = (
+                    int(v) for v in np.asarray(
+                        _shard_sync_stats(sync, n_chain, n_time)
+                    )
+                )
+            cand_budget = _budget_bucket(shard_total)
+            scan_cap = _scan_cap_bucket(max_pb)
+        n_ok, meta_budget, len_budget, comp, dropped = run_exact(
+            max_packets, cand_budget, scan_cap
+        )
+        return resolve(max_packets, cand_budget, scan_cap, n_ok,
+                       meta_budget, len_budget, comp, dropped)
 
     return collect
 

@@ -185,8 +185,8 @@ def test_budget_cache_speculative_path_matches(fixture_audio):
 
     # poison the compaction budgets: meta_budget/len_budget far too small
     # for the real packet population -> overflow detected -> exact redo
-    cand_budget, scan_cap, _, _ = seeded
-    B._CODEC_BUDGET_CACHE[key] = (cand_budget, scan_cap, 1, 64)
+    mp, cand_budget, scan_cap, _, _ = seeded
+    B._CODEC_BUDGET_CACHE[key] = (mp, cand_budget, scan_cap, 1, 64)
     redone = run_banked(chains, audio, codec="device")
     assert pkts(redone) == pkts(first)
     B._CODEC_BUDGET_CACHE.clear()
@@ -258,3 +258,59 @@ def test_oversample_banked_matches_executor(rng, up):
             (p.streamaddress, bytes(p.data)) for p in banked[chain.name]
         ]
         assert got == seq, (codec, group)
+
+
+def test_device_codec_budget_escalation(rng):
+    """Packet-dense traffic that saturates max_packets_per_block escalates
+    ON DEVICE (packet slots double, codec re-runs) instead of host-FSM
+    decoding the saturated blocks -- packets identical to a run whose
+    initial budget was already big enough, and the learned budget lands
+    in the cache so the repeat call needs no escalation."""
+    from pymodem_tpu import profiling
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+    )
+    from pymodem_tpu.runtime import bank as B
+    from pymodem_tpu.runtime.bank import run_banked
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    rate = 8000.0
+    sent = fx.payloads(rng, count=12, size=24)
+    line = fx.il2p_line_bits(sent, polynomial=0x3, invert=False,
+                             gap_bits=200)  # ~6 frames per 3.5 s window
+    audio = mod.afsk_modulate(line, rate, 1200.0, 1200.0, 2200.0)
+    chain = ChainSpec(
+        name="dense",
+        modem=AFSKModemSpec(sample_rate=rate),
+        slicer=BinarySlicerSpec(sample_rate=rate, symbol_rate=1200.0,
+                                lock_rate=0.75),
+        stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+        codec=IL2PCodecSpec(ident="dense"),
+    )
+    kw = dict(codec="device", block_seconds=2.0, overlap_seconds=1.5)
+    roomy = run_banked([chain], audio, max_packets_per_block=16, **kw)
+
+    B._CODEC_BUDGET_CACHE.clear()
+    profiling.reset()
+    profiling.enable(True)
+    try:
+        tight = run_banked([chain], audio, max_packets_per_block=2, **kw)
+        c1 = profiling.counts()
+        again = run_banked([chain], audio, max_packets_per_block=2, **kw)
+        c2 = profiling.counts()
+    finally:
+        profiling.enable(False)
+    assert c1.get("device_codec_escalate", 0) >= 1
+    # the learned budgets were cached: the repeat call escalates no further
+    assert c2.get("device_codec_escalate", 0) == c1["device_codec_escalate"]
+
+    def pkts(res):
+        return [(p.streamaddress, bytes(p.data)) for p in res[chain.name]]
+
+    assert pkts(tight) == pkts(roomy) == pkts(again)
+    assert len(pkts(roomy)) >= 12

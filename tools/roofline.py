@@ -82,6 +82,28 @@ def main() -> int:
     rows.append(("Pallas slicer lanes (windowed emit)", samples / dt / 1e9,
                  "Gsamples/s", f"{C * B} lanes"))
 
+    from pymodem_tpu.ops.pallas_slicers import (
+        four_level_slice_lanes_pallas,
+        quadrature_slice_lanes_pallas,
+    )
+
+    y = jnp.asarray(np.random.randn(C, B, N).astype(np.float32))
+    qd = (3, 1, 0, 2)
+    dt = timed(jax.jit(lambda i, q: jax.vmap(
+        lambda e: compact_windowed(e, 64, 1032)[0]
+    )(quadrature_slice_lanes_pallas(
+        i.reshape(C * B, N), q.reshape(C * B, N), slp, qd, 0xF, 2,
+        window=64))), x, y)
+    rows.append(("Pallas quadrature slicer lanes", samples / dt / 1e9,
+                 "Gsamples/s", f"{C * B} lanes"))
+
+    dt = timed(jax.jit(lambda v: jax.vmap(
+        lambda e: compact_windowed(e, 64, 1032)[0]
+    )(four_level_slice_lanes_pallas(
+        v.reshape(C * B, N), slp, (2, 0, 3, 1), window=64))), x)
+    rows.append(("Pallas 4-level slicer lanes", samples / dt / 1e9,
+                 "Gsamples/s", f"{C * B} lanes"))
+
     agc = lambda r: agc_apply(r, jnp.float32(0.0625), jnp.float32(0.00625),
                               jnp.float32(1.0), jnp.float32(1 / 8000),
                               jnp.float32(1.0), normal=jnp.float32(3.0))
