@@ -45,6 +45,7 @@ sys.path.insert(0, "/root/repo")
 
 N_CHAINS = 64
 N_PLL_CHAINS = 8
+N_PLL_WIDE_CHAINS = 32
 N_FAMILY_CHAINS = 8
 HOUR_SECONDS = int(os.environ.get("PYMODEM_TPU_BENCH_SECONDS", 3600))
 FAMILY_SECONDS = int(os.environ.get("PYMODEM_TPU_BENCH_FAMILY_SECONDS", 900))
@@ -138,6 +139,24 @@ def main() -> int:
     )
     msps_pll = pll_samples / med_pll / 1e6
 
+    # wide coherent bank: 4x the chains -- measures whether the coherent
+    # pipeline is lane-starved or throughput-saturated.  (Observed: ~630
+    # Msamples/s aggregate at BOTH 8 and 32 chains, i.e. the pipeline is
+    # saturated; scaling is linear-in-work at constant efficiency.)
+    wide_chains = [
+        replace(pll_base, name=f"pw{i}",
+                modem=replace(pll_base.modem, carrier_freq=1684.0 + i))
+        for i in range(N_PLL_WIDE_CHAINS)
+    ]
+    wide_samples = N_PLL_WIDE_CHAINS * len(tiled)
+    n_wide = sum(
+        len(v) for v in run_banked(wide_chains, tiled, codec="device").values()
+    )
+    med_wide, _ = _measure(
+        lambda: run_banked(wide_chains, tiled, codec="device"), reps=3
+    )
+    msps_wide = wide_samples / med_wide / 1e6
+
     # serving warm path: a stream of PLL recordings through
     # run_banked_many(depth=1) -- recording i+1's device programs dispatch
     # before recording i's packed readback, so the ~31 ms tunnel round trip
@@ -227,6 +246,9 @@ def main() -> int:
         "pll_pipelined_msps": round(msps_pipe, 2),
         "pll_pipelined_recordings": PIPELINE_DEPTH_RECORDINGS,
         "pll_pipelined_packets": n_pipe,
+        "pll_wide_msps": round(msps_wide, 2),
+        "pll_wide_chains": N_PLL_WIDE_CHAINS,
+        "pll_wide_packets": n_wide,
         "stream_msps": round(msps_stream, 2),
         "stream_packets": n_stream,
     }

@@ -798,6 +798,33 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
     )
 
 
+@partial(jax.jit, static_argnames=("kind", "slicer_kind", "n_blocks",
+                                   "stride", "ext", "capacity", "poly",
+                                   "invert", "slicer_static_mask",
+                                   "slicer_static_bps", "sync_tolerance",
+                                   "method", "unroll", "compact_window",
+                                   "pallas", "slicer_demap"))
+def bank_device_step_window(kind: str, slicer_kind: str, params,
+                            window: jax.Array, n_blocks: int, stride: int,
+                            ext: int, capacity: int, poly: int, invert: bool,
+                            slicer_static_mask: int, slicer_static_bps: int,
+                            sync_tolerance: int = 0, method: str = "auto",
+                            unroll: int = 8, compact_window: int = 1,
+                            pallas: bool | None = None,
+                            slicer_demap: tuple = ()):
+    """Streaming step on ONE pre-positioned audio window: the overlapped
+    (n_blocks, stride+ext) frames are built ON DEVICE (overlap-save copy),
+    so the host uploads the contiguous window -- cutting each step's
+    host->device transfer by the halo-duplication factor (~1.6x at the
+    default 8 s blocks / 6 s overlap) vs uploading pre-framed blocks."""
+    frames = overlapped_frames(window, n_blocks, stride, ext)
+    return _bank_frames_compute(
+        kind, slicer_kind, params, frames, capacity, poly, invert,
+        slicer_static_mask, slicer_static_bps, sync_tolerance, method,
+        unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
+    )
+
+
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "plan", "group",
                                    "capacity", "poly", "invert",
                                    "slicer_static_mask", "slicer_static_bps",

@@ -35,7 +35,6 @@ from .bank import (
     _dedup_block_boundary,
     _slicer_static,
     bank_capacity,
-    bank_device_step_frames,
     host_decode_block,
 )
 from ..config import IL2PCodecSpec
@@ -121,37 +120,33 @@ class StreamDecoder:
         self._n_emitted: dict[str, int] = {c.name: 0 for c in chains}
         self._total = 0  # absolute samples received
 
-    def _frames_for(self, state: _BankState, first_block: int, n_blocks: int,
-                    pad_to: int | None = None):
-        """Gather (n_blocks, Lin) input windows from the retained audio:
-        one zero-padded span copy + a strided view (no per-block loop)."""
+    def _window_for(self, state: _BankState, first_block: int):
+        """The contiguous audio window covering blocks_per_step blocks
+        (plus overlap+trim halo) starting at ``first_block``, zero-padded
+        where the stream has no samples.  Framing happens ON DEVICE
+        (bank_device_step_window), so this window is also the whole
+        host->device transfer for the step."""
         lin = state.plan.block_input_len
         a0 = first_block * self.block_len - self.overlap  # absolute start
-        span = (n_blocks - 1) * self.block_len + lin
+        span = (self.blocks_per_step - 1) * self.block_len + lin
         buf = np.zeros(span, dtype=np.float64)
         lo = max(a0, 0)
         hi = min(a0 + span, self._total)
         if hi > lo:
             rel = lo - self._consumed
             buf[lo - a0 : hi - a0] = self._audio[rel : rel + (hi - lo)]
-        stride = buf.strides[0]
-        return np.lib.stride_tricks.as_strided(
-            buf, (n_blocks, lin), (stride * self.block_len, stride)
-        ).copy()
+        return buf
 
     def _decode_blocks(self, state: _BankState, first_block: int,
                        n_blocks: int, final: bool):
-        frames = self._frames_for(state, first_block, n_blocks)
-        pad = self.blocks_per_step - n_blocks
-        if pad > 0:
-            frames = np.concatenate(
-                [frames, np.zeros((pad, frames.shape[1]))], axis=0
-            )
-        from .bank import _pallas_loop_wanted
+        from .bank import _pallas_loop_wanted, bank_device_step_window
 
-        data, addr, count, sync = bank_device_step_frames(
+        window = self._window_for(state, first_block)
+        lin = state.plan.block_input_len
+        data, addr, count, sync = bank_device_step_window(
             state.bank.kind, state.bank.slicer_kind, state.bank.params,
-            jnp.asarray(frames, self.dtype), state.capacity,
+            jnp.asarray(window, self.dtype), self.blocks_per_step,
+            self.block_len, lin - self.block_len, state.capacity,
             state.bank.stream_poly, state.bank.stream_invert,
             state.static["state_mask"], state.static["bits_per_symbol"],
             state.sync_tol, self.method, self.unroll,
