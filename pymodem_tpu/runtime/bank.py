@@ -803,7 +803,7 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
                                    "invert", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
                                    "method", "unroll", "compact_window",
-                                   "pallas", "slicer_demap"))
+                                   "pallas", "slicer_demap", "dtype"))
 def bank_device_step_window(kind: str, slicer_kind: str, params,
                             window: jax.Array, n_blocks: int, stride: int,
                             ext: int, capacity: int, poly: int, invert: bool,
@@ -811,13 +811,17 @@ def bank_device_step_window(kind: str, slicer_kind: str, params,
                             sync_tolerance: int = 0, method: str = "auto",
                             unroll: int = 8, compact_window: int = 1,
                             pallas: bool | None = None,
-                            slicer_demap: tuple = ()):
+                            slicer_demap: tuple = (), dtype=jnp.float32):
     """Streaming step on ONE pre-positioned audio window: the overlapped
     (n_blocks, stride+ext) frames are built ON DEVICE (overlap-save copy),
     so the host uploads the contiguous window -- cutting each step's
     host->device transfer by the halo-duplication factor (~1.6x at the
-    default 8 s blocks / 6 s overlap) vs uploading pre-framed blocks."""
-    frames = overlapped_frames(window, n_blocks, stride, ext)
+    default 8 s blocks / 6 s overlap) vs uploading pre-framed blocks.
+    ``window`` keeps its wire dtype (int16 feeds upload 2 bytes/sample,
+    an exact conversion); frames convert to ``dtype`` on device."""
+    if pallas is None:
+        pallas = _pallas_loop_wanted(dtype)
+    frames = overlapped_frames(window, n_blocks, stride, ext).astype(dtype)
     return _bank_frames_compute(
         kind, slicer_kind, params, frames, capacity, poly, invert,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,

@@ -129,7 +129,7 @@ class StreamDecoder:
         lin = state.plan.block_input_len
         a0 = first_block * self.block_len - self.overlap  # absolute start
         span = (self.blocks_per_step - 1) * self.block_len + lin
-        buf = np.zeros(span, dtype=np.float64)
+        buf = np.zeros(span, dtype=self._audio.dtype)
         lo = max(a0, 0)
         hi = min(a0 + span, self._total)
         if hi > lo:
@@ -145,14 +145,14 @@ class StreamDecoder:
         lin = state.plan.block_input_len
         data, addr, count, sync = bank_device_step_window(
             state.bank.kind, state.bank.slicer_kind, state.bank.params,
-            jnp.asarray(window, self.dtype), self.blocks_per_step,
+            jnp.asarray(window), self.blocks_per_step,
             self.block_len, lin - self.block_len, state.capacity,
             state.bank.stream_poly, state.bank.stream_invert,
             state.static["state_mask"], state.static["bits_per_symbol"],
             state.sync_tol, self.method, self.unroll,
             state.static["compact_window"],
             pallas=_pallas_loop_wanted(self.dtype),
-            slicer_demap=state.static["demap"],
+            slicer_demap=state.static["demap"], dtype=self.dtype,
         )
         codec_key = (
             bank_mod._bank_uniform_codec(state.bank)
@@ -204,8 +204,19 @@ class StreamDecoder:
         """Append samples; decode every block that is now complete.
 
         Returns newly decoded packets (globally addressed, deduplicated
-        against block-boundary repeats)."""
-        chunk = np.asarray(chunk, dtype=np.float64)
+        against block-boundary repeats).  int16 chunks keep their wire
+        dtype end-to-end (half the per-step upload; int16 -> f32/f64 on
+        device is exact, so decisions are unchanged); anything else is
+        carried as float64."""
+        chunk = np.asarray(chunk)
+        if chunk.dtype != np.int16:
+            chunk = chunk.astype(np.float64)
+        if self._audio.dtype != chunk.dtype:
+            if self._total == 0 and len(self._audio) == 0:
+                self._audio = self._audio.astype(chunk.dtype)
+            else:  # mixed dtypes across feeds: carry everything as f64
+                self._audio = self._audio.astype(np.float64)
+                chunk = chunk.astype(np.float64)
         self._audio = np.concatenate([self._audio, chunk])
         self._total += len(chunk)
         fresh: list = []

@@ -103,3 +103,39 @@ def test_stream_checkpoint_resume(fixture_audio):
         n: _pairs(p) for n, p in resumed.packets().items()
     } == {n: _pairs(p) for n, p in continuous.packets().items()}
     assert len(got_cont) > 0
+
+
+def test_stream_mixed_dtype_feeds(fixture_audio):
+    """int16 chunks keep the int16 wire dtype; a float chunk mid-stream
+    upcasts the carry and decode continues losslessly (int16 -> float is
+    exact, so packets match an all-int16 stream)."""
+    import os
+
+    if not os.path.exists(CONFIG):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    audio = audio[: rate * 60]
+    plan = load_plan(CONFIG, rate)
+    chains = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc Correlator"]
+
+    kw = dict(block_seconds=4.0, overlap_seconds=6.0, blocks_per_step=4)
+    dec_int = StreamDecoder(chains, rate, **kw)
+    got_int = []
+    for i in range(0, len(audio), 80_000):
+        chunk = audio[i : i + 80_000]
+        assert chunk.dtype == np.int16
+        got_int.extend(dec_int.feed(chunk))
+    got_int.extend(dec_int.flush())
+    assert dec_int._audio.dtype == np.float64 or dec_int._audio.dtype == np.int16
+
+    dec_mix = StreamDecoder(chains, rate, **kw)
+    got_mix = []
+    for fi, i in enumerate(range(0, len(audio), 80_000)):
+        chunk = audio[i : i + 80_000]
+        if fi % 2:  # alternate float feeds mid-stream
+            chunk = chunk.astype(np.float64)
+        got_mix.extend(dec_mix.feed(chunk))
+    got_mix.extend(dec_mix.flush())
+
+    assert _pairs(got_mix) == _pairs(got_int)
+    assert len(got_int) > 0
