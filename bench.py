@@ -198,9 +198,14 @@ def main() -> int:
     # pattern; the reference has no fixture WAVs for these)
     family_stats = {}
     for fam, cfg, rate_f, vary in (
-        ("qpsk", "qpsk_2400.json", 44100, "carrier_freq"),
+        ("qpsk", "qpsk_2400.json", 44100, "carrier_freq"),  # kind 'mpsk'
         ("fsk", "fsk_9600.json", 96000, "input_lpf_cutoff"),
         ("fourlevel", "4fsk_9600.json", 48000, "input_lpf_cutoff"),
+        ("bpsk", "bpsk_1200.json", 44100, "carrier_freq"),  # kind 'bpsk'
+        # kind 'qpsk' (Costas + branch IIRs, psk.py:197-476): no bundled
+        # config uses it (the reference's qpsk_*.json are all mpsk), so
+        # build the preset chain directly -- every modem kind measures
+        ("qpsk_costas", None, 44100, "carrier_freq"),
     ):
         fam_chains, fam_audio, n_sent = _family_workload(
             cfg, rate_f, vary, FAMILY_SECONDS
@@ -260,11 +265,14 @@ def main() -> int:
     return 0
 
 
-def _family_workload(config_name: str, rate: float, vary: str,
+def _family_workload(config_name: str | None, rate: float, vary: str,
                      seconds: int):
     """An N_FAMILY_CHAINS parameter-sweep bank for one modem family plus
     ``seconds`` of tiled synthesized on-air audio (int16 wire dtype, like
-    the WAV fixture).  Returns (chains, audio, frames_sent_per_chain)."""
+    the WAV fixture).  Returns (chains, audio, frames_sent_per_chain).
+
+    config_name=None builds the Costas-QPSK preset chain (modem kind
+    'qpsk'), which no bundled config exercises."""
     import numpy as np
     from dataclasses import replace
 
@@ -273,8 +281,29 @@ def _family_workload(config_name: str, rate: float, vary: str,
     from pymodem_tpu.synth import modulate as mod
 
     rng = np.random.default_rng(7)
-    plan = load_plan(f"/root/reference/configs/{config_name}", rate)
-    base = plan.chains[0]
+    if config_name is None:
+        from pymodem_tpu.config import (
+            ChainSpec,
+            IL2PCodecSpec,
+            LFSRStreamSpec,
+            QuadratureSlicerSpec,
+            _qpsk_preset,
+        )
+
+        spec = _qpsk_preset("2400", rate)
+        base = ChainSpec(
+            name="qc",
+            modem=spec,
+            slicer=QuadratureSlicerSpec(
+                sample_rate=rate, symbol_rate=1200.0, lock_rate=0.9,
+                bits_per_symbol=2, state_mask=0xF,
+            ),
+            stream=LFSRStreamSpec(polynomial=0x1, invert=False),
+            codec=IL2PCodecSpec(ident="qc"),
+        )
+    else:
+        plan = load_plan(f"/root/reference/configs/{config_name}", rate)
+        base = plan.chains[0]
     # sweep steps small enough that every chain still decodes (carrier
     # detune well inside max_freq_offset; cutoff shifts well inside the
     # filter's transition band) -- packet counts check exactly that
