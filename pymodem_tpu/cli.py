@@ -114,18 +114,26 @@ def run_decode_many(config_path: str, wav_paths: list[str]) -> list[tuple[int, s
                 outputs[i] = (3, f"Unable to open config json file. ({exc})\n")
             continue
         start = time.time()
+        diag = io.StringIO()
         try:
-            results = run_plan_banked_many(
-                plan, [audios[i] for i in idxs], rate, depth=1
-            )
+            # resilience diagnostics ("banked runtime failed ...",
+            # "skipped chain ...") belong to the CLIENTS, not the server
+            # console: capture and prefix them to every grouped response
+            with contextlib.redirect_stdout(diag):
+                results = run_plan_banked_many(
+                    plan, [audios[i] for i in idxs], rate, depth=1
+                )
         except Exception:  # resilient contract: retry one at a time
             for i in idxs:
                 outputs[i] = _one(wav_paths[i])
             continue
+        # the batch decodes jointly, so per-request wall time is the
+        # per-recording average of the pipelined run
         elapsed = round((time.time() - start) / len(idxs), 2)
         for i, result in zip(idxs, results):
             out = [f"Built {len(plan.chains)} demod chains\n",
-                   f"banked runtime: {len(plan.chains)} chains\n"]
+                   f"banked runtime: {len(plan.chains)} chains\n",
+                   diag.getvalue()]
             for report_spec, text in zip(plan.reports, result.reports):
                 out.append(f"Generating {report_spec.name}\n")
                 out.append(text + "\n")

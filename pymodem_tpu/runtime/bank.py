@@ -85,8 +85,12 @@ class BlockPlan:
     (scipy resample_poly's design, _resample_poly_taps), so each block reads
     10 extra input samples of real halo on each side and its in-block
     zero-stuff + valid convolution reproduces the sequential stream sample
-    for sample (interior blocks; the recording's first/last ~10 input
-    samples see pad zeros where the sequential path zero-pads too).
+    for sample in the interior.  At the recording's very edges the two
+    paths pad differently (the sequential path zero-pads the STUFFED
+    correlator stream; the banked path zero-pads the audio, whose partial
+    conv windows still overlap real samples), so the first/last ~10*up
+    demod samples can differ numerically -- no packet preamble fits
+    there, so decisions are unaffected.
     """
 
     n_audio: int

@@ -271,6 +271,46 @@ def _codec_compact_fn(mesh: Mesh, codec_key, plan: BlockPlan,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=256)
+def _compact_only_fn(mesh: Mesh, has_corrected: bool, meta_budget: int,
+                     len_budget: int):
+    from jax import shard_map
+
+    if has_corrected:
+        def shard_fn(ok, address, length, corrected, packet, dropped):
+            packed = compact_codec_out(ok, address, length, corrected,
+                                       packet, meta_budget, len_budget,
+                                       dropped)
+            return packed[None, None, :]
+        n_in = 6
+    else:
+        def shard_fn(ok, address, length, packet, dropped):
+            packed = compact_codec_out(ok, address, length, None, packet,
+                                       meta_budget, len_budget, dropped)
+            return packed[None, None, :]
+        n_in = 5
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("chain", "time"),) * n_in,
+        out_specs=P("chain", "time"), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_compact_only(mesh: Mesh, out: dict, meta_budget: int,
+                         len_budget: int):
+    """Per-shard compaction over an ALREADY-COMPUTED codec output: the
+    sizing path holds the codec buffers on device, so only the packing
+    re-runs with the exact budgets (the fused codec+compact step would
+    re-execute the whole decode)."""
+    has_corr = out.get("corrected") is not None
+    fn = _compact_only_fn(mesh, has_corr, meta_budget, len_budget)
+    args = (out["ok"], out["address"], out["length"])
+    if has_corr:
+        args += (out["corrected"],)
+    args += (out["packet"], out["dropped"])
+    return fn(*args)
+
+
 def sharded_codec_compact_step(mesh: Mesh, codec_key, data, addr, count,
                                sync, plan: BlockPlan, max_packets: int,
                                total_candidates: int | None, scan_cap: int,
@@ -423,11 +463,10 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
             )
         meta_budget = _budget_bucket(shard_ok_max)
         len_budget = _len_bucket(max_len, Lmax)
-        with profiling.timed("sharded_codec_step"):
-            packed = sharded_codec_compact_step(
-                mesh, codec_key, data, addr, count, sync, plan,
-                mp, cand_budget, scan_cap, meta_budget, len_budget,
-            )
+        with profiling.timed("sharded_codec_compact"):
+            # compaction ONLY: the codec buffers from the sizing step are
+            # still on device, so the decode does not run a second time
+            packed = sharded_compact_only(mesh, out, meta_budget, len_budget)
         with profiling.timed("sharded_codec_transfer"):
             flat = gather_to_host(packed)
         n_ok, _s, _m, comp, dropped = _merge_shard_compacts(
@@ -488,21 +527,12 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
             if shard_ok_max > meta_budget or max_len > len_budget:
                 # cached compaction budgets overflowed (workload grew):
                 # redo with exact budgets -- the cache only saves trips
+                # (run_exact re-runs the codec once; the fused cached
+                # step's buffers were not kept)
                 with profiling.timed("sharded_codec_redo"):
                     _SHARDED_BUDGET_CACHE.pop(cache_key, None)
-                    meta_budget = _budget_bucket(shard_ok_max)
-                    len_budget = _len_bucket(max_len, Lmax)
-                    repacked = sharded_codec_compact_step(
-                        mesh, codec_key, data, addr, count, sync, plan,
-                        mp0, cand_budget, scan_cap, meta_budget,
-                        len_budget,
-                    )
-                    flat = gather_to_host(repacked)
-                    n_ok, shard_ok_max, max_len, comp, dropped = (
-                        _merge_shard_compacts(
-                            flat, codec_key[0] == "il2p", meta_budget,
-                            len_budget, c_local, b_local,
-                        )
+                    n_ok, meta_budget, len_budget, comp, dropped = (
+                        run_exact(mp0, cand_budget, scan_cap)
                     )
             return resolve(mp0, cand_budget, scan_cap, n_ok, meta_budget,
                            len_budget, comp, dropped)
@@ -577,21 +607,6 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
             len(audio), bank.trim, sample_rate, block_seconds,
             overlap_seconds, bank.up, bank.trim_post,
         )
-        # round blocks up to a multiple of the time axis (block_len stays a
-        # multiple of up so every block starts on an input-sample phase)
-        n_blocks = -(-plan.n_blocks // n_time) * n_time
-        up = plan.up
-        block_len = plan.block_len
-        if n_blocks != plan.n_blocks:
-            plan = BlockPlan(
-                n_audio=plan.n_audio, trim=plan.trim,
-                block_len=-(-(-(-plan.n_demod // n_blocks)) // up) * up,
-                overlap=plan.overlap, up=up, trim_post=plan.trim_post,
-            )
-            while plan.n_blocks != n_blocks:  # exact tiling
-                block_len = plan.block_len + (up if plan.n_blocks > n_blocks else -up)
-                plan = BlockPlan(plan.n_audio, plan.trim, block_len,
-                                 plan.overlap, up, plan.trim_post)
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
         sync_tol = max(
@@ -604,8 +619,10 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
         )
         group = max_blocks_per_step
         if group == "auto":
+            # post-resample intermediates are up x larger than the input
+            # block (same accounting as the single-device dispatcher)
             group = auto_blocks_per_step(
-                len(bank.specs) // n_chain, plan.block_input_len,
+                len(bank.specs) // n_chain, plan.block_input_len * plan.up,
                 plan.n_blocks // n_time, dtype,
             )
         from jax.sharding import NamedSharding
@@ -614,6 +631,15 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
         # can target a multi-process sharding, a committed single-device
         # jnp array cannot
         frames = frame_blocks_host(audio, plan)
+        # round the block count up to a multiple of the time axis with
+        # all-zero blocks (they decode nothing and keep_range clips past
+        # n_demod) -- block boundaries stay IDENTICAL to the single-device
+        # plan, so packets match it exactly
+        pad_rows = -(-plan.n_blocks // n_time) * n_time - plan.n_blocks
+        if pad_rows:
+            frames = np.concatenate(
+                [frames, np.zeros((pad_rows, frames.shape[1]), frames.dtype)]
+            )
         frames = frames.astype(np.dtype(jnp.dtype(dtype).name), copy=False)
         framed = jax.device_put(frames, NamedSharding(mesh, P("time")))
         data, addr, count, sync = sharded_bank_step(

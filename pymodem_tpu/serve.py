@@ -62,9 +62,17 @@ def client_shutdown(sock_path: str) -> None:
             f.readline()
 
 
-def _read_request(conn):
-    with conn.makefile("r") as f:
-        line = f.readline()
+def _read_request(conn, timeout: float = 10.0):
+    """Read one request line; a connected-but-silent client must not hold
+    the already-drained batch (or the whole server) hostage."""
+    conn.settimeout(timeout)
+    try:
+        with conn.makefile("r") as f:
+            line = f.readline()
+    except (socket.timeout, OSError):
+        return None
+    finally:
+        conn.settimeout(None)
     if not line.strip():
         return None
     try:
