@@ -137,8 +137,14 @@ class StreamDecoder:
             buf[lo - a0 : hi - a0] = self._audio[rel : rel + (hi - lo)]
         return buf
 
-    def _decode_blocks(self, state: _BankState, first_block: int,
+    def _submit_blocks(self, state: _BankState, first_block: int,
                        n_blocks: int, final: bool):
+        """Dispatch one step's device programs; return a collect() closure.
+
+        Submit/collect are split so the caller can dispatch EVERY due step
+        (across banks and step groups) before reading anything back --
+        each step's packed readback then hides behind the next step's
+        device compute (the streaming analog of run_banked_many)."""
         from .bank import _pallas_loop_wanted, bank_device_step_window
 
         window = self._window_for(state, first_block)
@@ -169,36 +175,41 @@ class StreamDecoder:
                 n_audio=self._total, trim=state.bank.trim,
                 block_len=self.block_len, overlap=self.overlap,
             )
-            collect = bank_mod._device_codec_submit(
+            return bank_mod._device_codec_submit(
                 state.bank, state.plan, codec_key, data, addr, count, sync,
                 self.max_packets_per_block, None, block0=first_block,
                 host_plan=host_plan,
             )
-            return collect()
-        data, addr, count, sync = map(np.asarray, (data, addr, count, sync))
         n_demod_total = self._total - state.plan.trim
-        out: dict[str, list] = {}
-        for ci, chain in enumerate(state.bank.specs):
-            new_pkts = []
-            for i in range(n_blocks):
-                b = first_block + i
-                n = int(count[ci, i])
-                if n == 0:
-                    continue
-                offset = b * self.block_len - self.overlap
-                pkts = host_decode_block(
-                    chain,
-                    data[ci, i, :n].astype(np.int64),
-                    addr[ci, i, :n].astype(np.int64) + offset,
-                    sync[ci, i],
-                )
-                lo = b * self.block_len
-                hi = (b + 1) * self.block_len
-                if final:
-                    hi = min(hi, max(n_demod_total, 0)) if b * self.block_len < n_demod_total else hi
-                new_pkts.extend(p for p in pkts if lo < p.streamaddress <= hi)
-            out[chain.name] = new_pkts
-        return out
+
+        def collect():
+            d, a, c, s = map(np.asarray, (data, addr, count, sync))
+            out: dict[str, list] = {}
+            for ci, chain in enumerate(state.bank.specs):
+                new_pkts = []
+                for i in range(n_blocks):
+                    b = first_block + i
+                    n = int(c[ci, i])
+                    if n == 0:
+                        continue
+                    offset = b * self.block_len - self.overlap
+                    pkts = host_decode_block(
+                        chain,
+                        d[ci, i, :n].astype(np.int64),
+                        a[ci, i, :n].astype(np.int64) + offset,
+                        s[ci, i],
+                    )
+                    lo = b * self.block_len
+                    hi = (b + 1) * self.block_len
+                    if final:
+                        hi = min(hi, max(n_demod_total, 0)) if b * self.block_len < n_demod_total else hi
+                    new_pkts.extend(
+                        p for p in pkts if lo < p.streamaddress <= hi
+                    )
+                out[chain.name] = new_pkts
+            return out
+
+        return collect
 
     def feed(self, chunk: np.ndarray) -> list:
         """Append samples; decode every block that is now complete.
@@ -219,8 +230,8 @@ class StreamDecoder:
                 chunk = chunk.astype(np.float64)
         self._audio = np.concatenate([self._audio, chunk])
         self._total += len(chunk)
-        fresh: list = []
         min_needed_from = self._total  # lowest absolute sample still needed
+        pending = []  # dispatch everything, THEN collect (pipelined)
         for state in self._banks:
             # block b needs input through b*L + L + trim - 1
             while True:
@@ -232,14 +243,15 @@ class StreamDecoder:
                 need = (last + 1) * self.block_len + state.plan.trim
                 if need > self._total:
                     break
-                decoded = self._decode_blocks(
+                pending.append(self._submit_blocks(
                     state, state.next_block, self.blocks_per_step, final=False
-                )
+                ))
                 state.next_block += self.blocks_per_step
-                for name, pkts in decoded.items():
-                    self._results[name].extend(pkts)
             needed_from = state.next_block * self.block_len - self.overlap
             min_needed_from = min(min_needed_from, max(needed_from, 0))
+        for collect in pending:
+            for name, pkts in collect().items():
+                self._results[name].extend(pkts)
         # drop audio no bank will read again
         drop = min_needed_from - self._consumed
         if drop > 0:
@@ -249,6 +261,7 @@ class StreamDecoder:
 
     def flush(self) -> list:
         """Decode the final partial blocks; returns the remaining packets."""
+        pending = []
         for state in self._banks:
             n_demod = self._total - state.plan.trim
             last_block = max(-(-n_demod // self.block_len) - 1, -1)
@@ -257,10 +270,12 @@ class StreamDecoder:
             for start in range(state.next_block, last_block + 1,
                                self.blocks_per_step):
                 n = min(self.blocks_per_step, last_block - start + 1)
-                decoded = self._decode_blocks(state, start, n, final=True)
-                for name, pkts in decoded.items():
-                    self._results[name].extend(pkts)
+                pending.append(self._submit_blocks(state, start, n,
+                                                   final=True))
             state.next_block = last_block + 1
+        for collect in pending:
+            for name, pkts in collect().items():
+                self._results[name].extend(pkts)
         return self._emit_fresh()
 
     def _emit_fresh(self) -> list:
