@@ -314,3 +314,44 @@ def test_device_codec_budget_escalation(rng):
 
     assert pkts(tight) == pkts(roomy) == pkts(again)
     assert len(pkts(roomy)) >= 12
+
+
+def test_oversample_through_pipelined_runner(rng):
+    """output_oversample chains flow through run_banked_many (the serving
+    pipeline previously refused them) with per-recording results equal to
+    run_banked; StreamDecoder still refuses them with a clear error."""
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+    )
+    from pymodem_tpu.runtime.bank import run_banked, run_banked_many
+    from pymodem_tpu.runtime.stream import StreamDecoder
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    rate = 8000.0
+    sent = fx.payloads(rng, count=4, size=24)
+    line = fx.il2p_line_bits(sent, polynomial=0x3, invert=False,
+                             gap_bits=3000)
+    audio = mod.afsk_modulate(line, rate, 1200.0, 1200.0, 2200.0)
+    chain = ChainSpec(
+        name="ovs-pipe",
+        modem=AFSKModemSpec(sample_rate=rate, output_oversample=2.0),
+        slicer=BinarySlicerSpec(sample_rate=2 * rate, symbol_rate=1200.0,
+                                lock_rate=0.75),
+        stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+        codec=IL2PCodecSpec(ident="ovs-pipe"),
+    )
+    kw = dict(block_seconds=2.0, overlap_seconds=1.5)
+    solo = run_banked([chain], audio, **kw)
+    piped = run_banked_many([chain], [audio, audio], depth=1, **kw)
+    want = [(p.streamaddress, bytes(p.data)) for p in solo[chain.name]]
+    assert want and all(
+        [(p.streamaddress, bytes(p.data)) for p in rec[chain.name]] == want
+        for rec in piped
+    )
+    with pytest.raises(ValueError, match="output_oversample"):
+        StreamDecoder([chain], rate)
