@@ -68,7 +68,7 @@ class StreamDecoder:
                  block_seconds: float = 8.0, overlap_seconds: float = 6.0,
                  blocks_per_step: int = 4, method: str = "auto",
                  unroll: int = 8, codec: str = "device",
-                 max_packets_per_block: int = 8):
+                 max_packets_per_block: int = 8, pipeline_depth: int = 2):
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -76,6 +76,10 @@ class StreamDecoder:
         self.unroll = unroll
         self.codec = codec
         self.max_packets_per_block = max_packets_per_block
+        # steps kept in flight beyond the one being collected: bounds
+        # device memory at (depth+1) steps' buffers while still hiding
+        # each readback behind the next step's compute
+        self.pipeline_depth = max(int(pipeline_depth), 0)
         self.blocks_per_step = blocks_per_step
         self.block_len = max(int(block_seconds * sample_rate), 1)
         self.overlap = int(overlap_seconds * sample_rate)
@@ -230,29 +234,48 @@ class StreamDecoder:
                 chunk = chunk.astype(np.float64)
         self._audio = np.concatenate([self._audio, chunk])
         self._total += len(chunk)
-        min_needed_from = self._total  # lowest absolute sample still needed
-        pending = []  # dispatch everything, THEN collect (pipelined)
+        from collections import deque
+
+        # pipelined: up to pipeline_depth steps dispatch ahead of the one
+        # being collected, so each step's packed readback hides behind the
+        # next step's device compute while in-flight device memory stays
+        # bounded.  state.next_block commits only AFTER a step's collect
+        # succeeds: if a collect raises, the uncollected steps' blocks are
+        # re-submitted by the retry feed (their audio is still retained,
+        # since retention keys off the committed cursor).
+        pending: deque = deque()  # (state, advance_to, collect)
+
+        def drain_one():
+            state, advance_to, collect = pending.popleft()
+            for name, pkts in collect().items():
+                self._results[name].extend(pkts)
+            state.next_block = advance_to
+
         for state in self._banks:
             # block b needs input through b*L + L + trim - 1
+            cursor = state.next_block
             while True:
-                upcoming = range(
-                    state.next_block,
-                    state.next_block + self.blocks_per_step,
-                )
-                last = upcoming[-1]
+                last = cursor + self.blocks_per_step - 1
                 need = (last + 1) * self.block_len + state.plan.trim
                 if need > self._total:
                     break
-                pending.append(self._submit_blocks(
-                    state, state.next_block, self.blocks_per_step, final=False
+                pending.append((
+                    state,
+                    cursor + self.blocks_per_step,
+                    self._submit_blocks(state, cursor,
+                                        self.blocks_per_step, final=False),
                 ))
-                state.next_block += self.blocks_per_step
+                cursor += self.blocks_per_step
+                while len(pending) > self.pipeline_depth:
+                    drain_one()
+        while pending:
+            drain_one()
+        # drop audio no bank will read again (committed cursors only, so a
+        # failed collect can always re-read its blocks' samples)
+        min_needed_from = self._total  # lowest absolute sample still needed
+        for state in self._banks:
             needed_from = state.next_block * self.block_len - self.overlap
             min_needed_from = min(min_needed_from, max(needed_from, 0))
-        for collect in pending:
-            for name, pkts in collect().items():
-                self._results[name].extend(pkts)
-        # drop audio no bank will read again
         drop = min_needed_from - self._consumed
         if drop > 0:
             self._audio = self._audio[drop:]
@@ -261,7 +284,16 @@ class StreamDecoder:
 
     def flush(self) -> list:
         """Decode the final partial blocks; returns the remaining packets."""
-        pending = []
+        from collections import deque
+
+        pending: deque = deque()
+
+        def drain_one():
+            state, advance_to, collect = pending.popleft()
+            for name, pkts in collect().items():
+                self._results[name].extend(pkts)
+            state.next_block = advance_to
+
         for state in self._banks:
             n_demod = self._total - state.plan.trim
             last_block = max(-(-n_demod // self.block_len) - 1, -1)
@@ -270,12 +302,14 @@ class StreamDecoder:
             for start in range(state.next_block, last_block + 1,
                                self.blocks_per_step):
                 n = min(self.blocks_per_step, last_block - start + 1)
-                pending.append(self._submit_blocks(state, start, n,
-                                                   final=True))
-            state.next_block = last_block + 1
-        for collect in pending:
-            for name, pkts in collect().items():
-                self._results[name].extend(pkts)
+                pending.append((
+                    state, start + n,
+                    self._submit_blocks(state, start, n, final=True),
+                ))
+                while len(pending) > self.pipeline_depth:
+                    drain_one()
+        while pending:
+            drain_one()
         return self._emit_fresh()
 
     def _emit_fresh(self) -> list:

@@ -6,8 +6,9 @@ the banked packets equal the sequential executor's (the reference-parity
 implementation, runtime/executor.py) for one representative config of
 every modem family x slicer x codec combination, on the same synth audio,
 in float64.  Addresses may differ by the documented block byte-phase
-quantum (<= 8 symbol periods, CLAUDE.md architecture invariants); payload
-byte sequences must be identical.
+quantum (<= 7 symbol periods, CLAUDE.md architecture invariants; the
+assertion allows 8 for one period of margin); payload byte sequences
+must be identical.
 """
 
 import os
