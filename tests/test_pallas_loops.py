@@ -300,3 +300,31 @@ def test_windowed_slicer_kernel_matches_dense(rng):
         assert int(wc) == int(gc) and int(wc) > 0
         assert np.array_equal(np.asarray(wd), np.asarray(gd))
         assert np.array_equal(np.asarray(wa), np.asarray(ga))
+
+
+def test_mpsk_pd_polynomial_exhaustive():
+    """The MPSK Pallas kernel's first-quadrant atan polynomial (Mosaic has
+    no atan2 lowering) produces the IDENTICAL rounded phase-detector error
+    as f32 atan2 for EVERY integer (a, b) the quadrant fold can emit at the
+    preset pd_gain=32 / pd_granularity=64 (psk.py:523-545 quantization) --
+    checked exhaustively, so the decision contract is proof, not tolerance."""
+    import numpy as np
+
+    gain, g = np.float32(32.0), 64
+    a, b = np.meshgrid(np.arange(g, dtype=np.float32),
+                       np.arange(g, dtype=np.float32))
+    af, bf = a.ravel(), b.ravel()
+    keep = ~((af == 0) & (bf == 0))  # (0,0) is magnitude-gated in-kernel
+    af, bf = af[keep], bf[keep]
+    swap = bf > af
+    t = (np.where(swap, af, bf) / np.where(swap, bf, af)).astype(np.float32)
+    s = t * t
+    atan = t * (np.float32(0.99997726) + s * (np.float32(-0.33262347) + s * (
+        np.float32(0.19354346) + s * (np.float32(-0.11643287) + s * (
+            np.float32(0.05265332) + s * np.float32(-0.01172120))))))
+    rad = np.where(swap, np.float32(np.pi / 2) - atan, atan)
+    deg_poly = rad * np.float32(180.0 / np.pi)
+    deg_ref = np.degrees(np.arctan2(bf, af)).astype(np.float32)
+    err_poly = np.round(gain * (deg_poly - np.float32(45.0)))
+    err_ref = np.round(gain * (deg_ref - np.float32(45.0)))
+    np.testing.assert_array_equal(err_poly, err_ref)
