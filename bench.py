@@ -49,6 +49,11 @@ N_PLL_WIDE_CHAINS = 32
 N_FAMILY_CHAINS = 8
 HOUR_SECONDS = int(os.environ.get("PYMODEM_TPU_BENCH_SECONDS", 3600))
 FAMILY_SECONDS = int(os.environ.get("PYMODEM_TPU_BENCH_FAMILY_SECONDS", 900))
+# traffic contract for the fixture WAV: IL2P frames arrive ~3.1 s apart and
+# each lasts well under 3 s of wire time at 300 bps -- the runtime derives
+# the block/overlap geometry from this bound (bank_auto_geometry); without
+# it the auto default protects the PROTOCOL-max packet (~30 s at 300 bps)
+FIXTURE_MAX_PACKET_SECONDS = 3.0
 PIPELINE_DEPTH_RECORDINGS = 3
 N_REPS = 5
 BASELINE_AGG_MSPS = 0.33  # reference aggregate Msamples/s (BASELINE.md)
@@ -114,27 +119,28 @@ def main() -> int:
     tiled = jax.device_put(tiled)
 
     # secondary: host-FSM codec on device-computed sync candidates
-    packets = run_banked(chains, tiled, codec="host")
+    kw300 = dict(max_packet_seconds=FIXTURE_MAX_PACKET_SECONDS)
+    packets = run_banked(chains, tiled, codec="host", **kw300)
     n_packets = sum(len(v) for v in packets.values())
     med, _ = _measure(
-        lambda: run_banked(chains, tiled, codec="host"), reps=3
+        lambda: run_banked(chains, tiled, codec="host", **kw300), reps=3
     )
     msps = chain_samples / med / 1e6
 
     # fully-on-device codec, same workload (the headline path)
-    dev_packets = run_banked(chains, tiled, codec="device")
+    dev_packets = run_banked(chains, tiled, codec="device", **kw300)
     n_dev_packets = sum(len(v) for v in dev_packets.values())
     med_dev, spread = _measure(
-        lambda: run_banked(chains, tiled, codec="device")
+        lambda: run_banked(chains, tiled, codec="device", **kw300)
     )
     msps_dev = chain_samples / med_dev / 1e6
 
     # coherent family: AFSK-PLL bank (scan/Pallas loop path), device codec
     pll_samples = N_PLL_CHAINS * len(tiled)
-    pll_packets = run_banked(pll_chains, tiled, codec="device")
+    pll_packets = run_banked(pll_chains, tiled, codec="device", **kw300)
     n_pll = sum(len(v) for v in pll_packets.values())
     med_pll, _ = _measure(
-        lambda: run_banked(pll_chains, tiled, codec="device"),
+        lambda: run_banked(pll_chains, tiled, codec="device", **kw300),
         reps=3,
     )
     msps_pll = pll_samples / med_pll / 1e6
@@ -150,10 +156,13 @@ def main() -> int:
     ]
     wide_samples = N_PLL_WIDE_CHAINS * len(tiled)
     n_wide = sum(
-        len(v) for v in run_banked(wide_chains, tiled, codec="device").values()
+        len(v)
+        for v in run_banked(wide_chains, tiled, codec="device",
+                            **kw300).values()
     )
     med_wide, _ = _measure(
-        lambda: run_banked(wide_chains, tiled, codec="device"), reps=3
+        lambda: run_banked(wide_chains, tiled, codec="device", **kw300),
+        reps=3,
     )
     msps_wide = wide_samples / med_wide / 1e6
 
@@ -165,11 +174,13 @@ def main() -> int:
 
     stream = [tiled] * PIPELINE_DEPTH_RECORDINGS
     n_pipe = sum(
-        len(v) for rec in run_banked_many(pll_chains, stream, depth=1)
+        len(v)
+        for rec in run_banked_many(pll_chains, stream, depth=1, **kw300)
         for v in rec.values()
     )
     med_pipe, _ = _measure(
-        lambda: run_banked_many(pll_chains, stream, depth=1), reps=3
+        lambda: run_banked_many(pll_chains, stream, depth=1, **kw300),
+        reps=3,
     )
     msps_pipe = len(stream) * pll_samples / med_pipe / 1e6
 
@@ -183,7 +194,7 @@ def main() -> int:
     chunk = 120 * rate
 
     def stream_hour():
-        dec = StreamDecoder(chains, rate, blocks_per_step=16)
+        dec = StreamDecoder(chains, rate, blocks_per_step=16, **kw300)
         n = 0
         for s in range(0, len(audio_np), chunk):
             n += len(dec.feed(audio_np[s : s + chunk]))
@@ -207,16 +218,15 @@ def main() -> int:
         # build the preset chain directly -- every modem kind measures
         ("qpsk_costas", None, 44100, "carrier_freq"),
     ):
-        fam_chains, fam_audio, n_sent = _family_workload(
+        fam_chains, fam_audio, n_sent, fam_mps = _family_workload(
             cfg, rate_f, vary, FAMILY_SECONDS
         )
         fam_audio = jax.device_put(fam_audio)
         fam_samples = len(fam_chains) * len(fam_audio)
-        # 2 s blocks: at 96 kHz rates an 8-chain bank only reaches the
-        # ~1k live lanes the kernels need (and HBM-sane lane padding,
-        # bank._lane_path_ok) with short blocks x large groups
-        fam_kw = dict(codec="device", block_seconds=2.0,
-                      overlap_seconds=1.5)
+        # geometry is the runtime's choice (bank_auto_geometry); the bench
+        # only states its traffic contract -- the synthesized frames' wire
+        # duration -- as max_packet_seconds
+        fam_kw = dict(codec="device", max_packet_seconds=fam_mps)
         counts = run_banked(fam_chains, fam_audio, **fam_kw)
         n_fam = sum(len(v) for v in counts.values())
         med_fam, _ = _measure(
@@ -319,7 +329,13 @@ def _family_workload(config_name: str | None, rate: float, vary: str,
     segment = mod.to_int16(np.asarray(segment))
     reps = max(1, seconds * int(rate) // len(segment))
     audio = np.tile(segment, reps)
-    return chains, audio, len(sent) * reps
+    # traffic contract: wire duration of one synthesized IL2P frame
+    # (sync 3 + header 15 + payload + RS parity 16 + CRC 4 bytes) at the
+    # chain's bit rate, with margin
+    sl = base.slicer
+    bps = getattr(sl, "bits_per_symbol", 2 if sl.kind == "4level" else 1)
+    mps = 2.0 * (3 + 15 + 30 + 16 + 4) * 8 / (sl.symbol_rate * bps)
+    return chains, audio, len(sent) * reps, mps
 
 
 if __name__ == "__main__":

@@ -103,6 +103,51 @@ def descramble_bytes(data: jax.Array, polynomial: int, invert: bool = False,
     return out
 
 
+def descramble_bytes_multi(data: jax.Array, polys: tuple[int, ...],
+                           inverts: tuple[bool, ...],
+                           chain0=None) -> jax.Array:
+    """Per-chain descramble over a stacked (C_local, ..., K) uint8 stream.
+
+    The reference driver freely mixes descrambler settings across its
+    process pool (pymodem.py:140-166, lfsr.py:22-51); here each chain's
+    polynomial and output invert are applied as per-chain XOR masks on the
+    stacked byte stream, so chains differing only in (poly, invert) share
+    one bank program.  ``polys``/``inverts`` cover the FULL bank;
+    ``chain0`` (a traced scalar under shard_map, or None) selects this
+    shard's window of chains.  Polynomial 0 (no stream stage) acts as the
+    identity, like poly 0x1.
+
+    Cost matches the uniform-poly path: a tap set by EVERY chain skips its
+    mask entirely, so a uniform bank compiles to the same shifted XORs as
+    descramble_bytes; only genuinely mixed taps pay one extra AND.
+    """
+    eff = tuple((p if p else 1) for p in polys)
+    if all(p == 1 for p in eff) and not any(inverts):
+        return data
+    d = data.astype(jnp.uint8)
+    c_local = d.shape[0]
+    extra = (1,) * (d.ndim - 1)
+
+    def sel(mask_np: np.ndarray) -> jax.Array:
+        m = jnp.asarray(mask_np)
+        if chain0 is not None:
+            m = jax.lax.dynamic_slice(m, (chain0,), (c_local,))
+        return m.reshape((c_local,) + extra)
+
+    taps = sorted({j for p in eff for j in poly_tap_positions(p)})
+    out = jnp.zeros_like(d)
+    for j in taps:
+        mask = np.array([0xFF if (p >> j) & 1 else 0 for p in eff], np.uint8)
+        term = _byte_shift_right(d, j)
+        out = out ^ (term if mask.all() else (term & sel(mask)))
+    inv = np.array([0xFF if v else 0 for v in inverts], np.uint8)
+    if inv.all():
+        out = out ^ jnp.uint8(0xFF)
+    elif inv.any():
+        out = out ^ sel(inv)
+    return out
+
+
 def np_descramble_bytes(data: np.ndarray, polynomial: int, invert: bool = False,
                         seed: int = 0) -> np.ndarray:
     """Host-side mirror (vectorized numpy) for tests and host codec paths."""

@@ -5,7 +5,7 @@ giving each the whole recording (pymodem.py:140-166).  Here the same workload
 is one compiled device program:
 
 * **Chain bank axis**: chains with identical static structure (same modem
-  family and parameter shapes, same slicer family, same descrambler) are
+  family and parameter shapes, same slicer family) are
   stacked into a single pytree with a leading chain axis and vmapped.
   Sweep-bank configs (8 AFSK emphasis chains, QPSK carrier sweeps) become a
   single batched program instead of 8 processes.
@@ -52,7 +52,6 @@ from ..config import (
 from ..dsp.agc import agc_apply
 from ..dsp.fir import fir_valid_multi, fir_valid_nd
 from ..dsp.loops import afsk_pll, bpsk_costas, mpsk_loop, qpsk_costas
-from ..ops.lfsr import descramble_bytes
 from ..ops.slicers import (
     binary_slice,
     compact_bytes,
@@ -204,8 +203,13 @@ class Bank:
     params: Any  # pytree with leading chain axis on every leaf
     trim: int
     slicer_kind: str
-    stream_poly: int
-    stream_invert: bool
+    # per-chain descrambler settings -- NOT grouping keys: the reference
+    # driver mixes any (poly, invert) across its process pool
+    # (pymodem.py:140-166), and the XOR-convolution descrambler applies
+    # them as per-chain masks (ops/lfsr.descramble_bytes_multi), so e.g.
+    # afsk_300_pll.json's invert pair runs as ONE 2-chain bank
+    stream_polys: tuple[int, ...] = ()
+    stream_inverts: tuple[bool, ...] = ()
     up: int = 1  # demod-output rate multiple (AFSK output_oversample)
     trim_post: int = 0  # demod-rate trim after the upsample (up > 1)
 
@@ -302,10 +306,10 @@ def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
         # Rates are part of the key: bank_capacity and the block plan derive
         # from the bank's rates, so chains differing only in sample/symbol
         # rate must not share a bank (a higher-byte-rate chain would overflow
-        # a capacity sized for the first spec).
+        # a capacity sized for the first spec).  The descrambler (poly,
+        # invert) is per-chain DATA, not a key (descramble_bytes_multi).
         rates = (chain.modem.sample_rate, sl.sample_rate, sl.symbol_rate)
-        key = (chain.modem.kind, _tree_shapes(params), slicer_static, poly,
-               invert, rates)
+        key = (chain.modem.kind, _tree_shapes(params), slicer_static, rates)
         if key not in banks:
             trim, trim_post, up = _modem_geometry(
                 chain.modem.kind, modems.build_params(chain.modem)
@@ -316,14 +320,14 @@ def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
                 params=[],
                 trim=trim,
                 slicer_kind=sl.kind,
-                stream_poly=poly,
-                stream_invert=invert,
                 up=up,
                 trim_post=trim_post,
             )
             order.append(key)
         banks[key].specs.append(chain)
         banks[key].params.append(params)
+        banks[key].stream_polys += (poly,)
+        banks[key].stream_inverts += (invert,)
     out = []
     for key in order:
         bank = banks[key]
@@ -632,12 +636,13 @@ def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
 
 
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "plan", "capacity",
-                                   "poly", "invert", "slicer_static_mask",
+                                   "polys", "inverts", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
                                    "method", "unroll", "compact_window",
                                    "pallas", "slicer_demap"))
 def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
-                     plan: BlockPlan, capacity: int, poly: int, invert: bool,
+                     plan: BlockPlan, capacity: int, polys: tuple,
+                     inverts: tuple,
                      slicer_static_mask: int, slicer_static_bps: int,
                      sync_tolerance: int = 0,
                      method: str = "auto", unroll: int = 8,
@@ -654,23 +659,29 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
     """
     blocks = frame_blocks(audio, plan)
     return bank_device_step_frames(
-        kind, slicer_kind, params, blocks, capacity, poly, invert,
+        kind, slicer_kind, params, blocks, capacity, polys, inverts,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,
         unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
     )
 
 
 def _bank_frames_compute(kind: str, slicer_kind: str, params,
-                         blocks: jax.Array, capacity: int, poly: int,
-                         invert: bool, slicer_static_mask: int,
+                         blocks: jax.Array, capacity: int, polys: tuple,
+                         inverts: tuple, slicer_static_mask: int,
                          slicer_static_bps: int, sync_tolerance: int,
                          method: str, unroll: int, compact_window: int,
                          normal_fn=None, pallas: bool | None = None,
-                         slicer_demap: tuple = ()):
+                         slicer_demap: tuple = (), chain0=None):
     """Traced body shared by the jitted bank-step entry points: (B, Lin)
     frames -> per-chain (C, B, cap) bytes/addresses/counts/sync bitmap.
     Byte streams leave as uint8 (4x smaller host transfers than the
-    compaction's int32)."""
+    compaction's int32).
+
+    ``polys``/``inverts`` are per-chain descrambler settings over the FULL
+    bank, applied as XOR masks on the stacked stream
+    (descramble_bytes_multi); ``chain0`` (traced, from shard_map's
+    axis_index) selects this shard's chain window."""
+    from ..ops.lfsr import descramble_bytes_multi
     from ..ops.sync import il2p_sync_candidates
 
     def tail_stages(chain_params, baseband):
@@ -679,16 +690,16 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
             "state_mask": slicer_static_mask,
             "bits_per_symbol": slicer_static_bps,
         }
-        data, addr, count = slice_blocks(
+        return slice_blocks(
             slicer_kind, chain_params, baseband, capacity, unroll,
             compact_window,
         )
-        return post_slicer(data, addr, count)
 
     def post_slicer(data, addr, count):
-        data = data.astype(jnp.uint8)
-        if poly not in (0, 1) or invert:
-            data = descramble_bytes(data, poly, invert)
+        # stacked (C, B, cap): per-chain descramble masks + sync scan
+        data = descramble_bytes_multi(
+            data.astype(jnp.uint8), polys, inverts, chain0
+        )
         sync = il2p_sync_candidates(data, sync_tolerance)
         return data, addr, count, pack_bits(sync)
 
@@ -755,34 +766,34 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
             data, addr, count = jax.vmap(jax.vmap(
                 lambda e: compact_windowed(e, w, capacity)
             ))(enc)
-            return jax.vmap(post_slicer)(data, addr, count)
+            return post_slicer(data, addr, count)
         valid, byte = decode_emissions(enc)
         data, addr, count = jax.vmap(jax.vmap(
             lambda v, b: compact_bytes(SlicerOut(v, b), capacity, w)
         ))(valid, byte)
-        return jax.vmap(post_slicer)(data, addr, count)
+        return post_slicer(data, addr, count)
 
     if kind in ("afsk_pll", "bpsk", "qpsk", "mpsk") and pallas:
         basebands = coherent_bank_demod_pallas(kind, params, blocks, method,
                                                unroll, normal_fn)
-        return jax.vmap(tail_stages)(params, basebands)
+        return post_slicer(*jax.vmap(tail_stages)(params, basebands))
 
     def one_chain(chain_params):
         baseband = demod_blocks(kind, dict(chain_params), blocks, method,
                                 unroll, normal_fn)
         return tail_stages(chain_params, baseband)
 
-    return jax.vmap(one_chain)(params)
+    return post_slicer(*jax.vmap(one_chain)(params))
 
 
-@partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "poly",
-                                   "invert", "slicer_static_mask",
+@partial(jax.jit, static_argnames=("kind", "slicer_kind", "capacity", "polys",
+                                   "inverts", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
                                    "method", "unroll", "compact_window",
                                    "pallas", "slicer_demap"))
 def bank_device_step_frames(kind: str, slicer_kind: str, params,
-                            blocks: jax.Array, capacity: int, poly: int,
-                            invert: bool, slicer_static_mask: int,
+                            blocks: jax.Array, capacity: int, polys: tuple,
+                            inverts: tuple, slicer_static_mask: int,
                             slicer_static_bps: int, sync_tolerance: int = 0,
                             method: str = "auto", unroll: int = 8,
                             compact_window: int = 1,
@@ -796,21 +807,22 @@ def bank_device_step_frames(kind: str, slicer_kind: str, params,
     trace (None here falls back to resolving it at trace time, which is
     only correct if the environment never changes mid-process)."""
     return _bank_frames_compute(
-        kind, slicer_kind, params, blocks, capacity, poly, invert,
+        kind, slicer_kind, params, blocks, capacity, polys, inverts,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,
         unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
     )
 
 
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "n_blocks",
-                                   "stride", "ext", "capacity", "poly",
-                                   "invert", "slicer_static_mask",
+                                   "stride", "ext", "capacity", "polys",
+                                   "inverts", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
                                    "method", "unroll", "compact_window",
                                    "pallas", "slicer_demap", "dtype"))
 def bank_device_step_window(kind: str, slicer_kind: str, params,
                             window: jax.Array, n_blocks: int, stride: int,
-                            ext: int, capacity: int, poly: int, invert: bool,
+                            ext: int, capacity: int, polys: tuple,
+                            inverts: tuple,
                             slicer_static_mask: int, slicer_static_bps: int,
                             sync_tolerance: int = 0, method: str = "auto",
                             unroll: int = 8, compact_window: int = 1,
@@ -827,21 +839,21 @@ def bank_device_step_window(kind: str, slicer_kind: str, params,
         pallas = _pallas_loop_wanted(dtype)
     frames = overlapped_frames(window, n_blocks, stride, ext).astype(dtype)
     return _bank_frames_compute(
-        kind, slicer_kind, params, frames, capacity, poly, invert,
+        kind, slicer_kind, params, frames, capacity, polys, inverts,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,
         unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
     )
 
 
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "plan", "group",
-                                   "capacity", "poly", "invert",
+                                   "capacity", "polys", "inverts",
                                    "slicer_static_mask", "slicer_static_bps",
                                    "sync_tolerance", "method", "unroll",
                                    "compact_window", "dtype", "pallas",
                                    "slicer_demap"))
 def bank_device_step_grouped(kind: str, slicer_kind: str, params,
                              audio: jax.Array, plan: BlockPlan, group: int,
-                             capacity: int, poly: int, invert: bool,
+                             capacity: int, polys: tuple, inverts: tuple,
                              slicer_static_mask: int, slicer_static_bps: int,
                              sync_tolerance: int = 0, method: str = "auto",
                              unroll: int = 8, compact_window: int = 1,
@@ -869,7 +881,7 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
         win = jax.lax.dynamic_slice(padded, (start,), (win_len,))
         frames = overlapped_frames(win, g, stride, ext).astype(dtype)
         return _bank_frames_compute(
-            kind, slicer_kind, params, frames, capacity, poly, invert,
+            kind, slicer_kind, params, frames, capacity, polys, inverts,
             slicer_static_mask, slicer_static_bps, sync_tolerance, method,
             unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
         )
@@ -932,32 +944,155 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
     return out
 
 
-def _bank_uniform_codec(bank: Bank):
-    """The (kind, options) shared by every chain of the bank, or None."""
+def _codec_static_key(codec):
+    """Static (kind, options) of one chain's device codec, or None when no
+    device implementation exists for the codec type."""
     from ..config import AX25CodecSpec, IL2PCodecSpec
 
-    codecs = [c.codec for c in bank.specs]
-    first = codecs[0]
-    if isinstance(first, IL2PCodecSpec):
-        key = ("il2p", first.collect_trailing_crc, first.disable_rs,
-               first.min_distance, first.sync_tolerance)
-        same = all(
-            isinstance(c, IL2PCodecSpec)
-            and (c.collect_trailing_crc, c.disable_rs, c.min_distance,
-                 c.sync_tolerance)
-            == key[1:]
-            for c in codecs
-        )
-    elif isinstance(first, AX25CodecSpec):
-        key = ("ax25", first.min_packet_length, first.max_packet_length)
-        same = all(
-            isinstance(c, AX25CodecSpec)
-            and (c.min_packet_length, c.max_packet_length) == key[1:]
-            for c in codecs
-        )
+    if isinstance(codec, IL2PCodecSpec):
+        return ("il2p", codec.collect_trailing_crc, codec.disable_rs,
+                codec.min_distance, codec.sync_tolerance)
+    if isinstance(codec, AX25CodecSpec):
+        return ("ax25", codec.min_packet_length, codec.max_packet_length)
+    return None
+
+
+def _bank_uniform_codec(bank: Bank):
+    """The (kind, options) shared by every chain of the bank, or None."""
+    keys = {_codec_static_key(c.codec) for c in bank.specs}
+    return keys.pop() if len(keys) == 1 else None
+
+
+def _codec_subgroups(bank: Bank):
+    """[(codec_key, chain_index_list)] in config order, or None when some
+    chain's codec has no device implementation.
+
+    A bank mixing codec OPTIONS (the reference's normal A/B pattern --
+    e.g. an ax25 and an il2p chain sharing one demod family,
+    chain_builder.py:64-68) dispatches the device codec per sub-group of
+    chain indices instead of dropping the whole bank to the host FSMs."""
+    order: list[tuple] = []
+    groups: dict[tuple, list[int]] = {}
+    for i, c in enumerate(bank.specs):
+        key = _codec_static_key(c.codec)
+        if key is None:
+            return None
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(i)
+    return [(k, groups[k]) for k in order]
+
+
+def _bank_chain_subset(bank: Bank, idxs: list[int]) -> Bank:
+    """A chain-index view of the bank for the codec/packet stage (which
+    reads only specs and the per-chain stream settings, never params)."""
+    from dataclasses import replace as _replace
+
+    return _replace(
+        bank,
+        specs=[bank.specs[i] for i in idxs],
+        params=None,
+        stream_polys=tuple(bank.stream_polys[i] for i in idxs),
+        stream_inverts=tuple(bank.stream_inverts[i] for i in idxs),
+    )
+
+
+def _chain_bit_rate(chain: ChainSpec) -> float:
+    sl = chain.slicer
+    bps = getattr(sl, "bits_per_symbol", 2 if sl.kind == "4level" else 1)
+    return sl.symbol_rate * bps
+
+
+def _protocol_max_packet_seconds(chain: ChainSpec) -> float:
+    """Upper bound on one wire packet's duration for the chain's codec at
+    its bit rate -- what the block overlap must cover so NO protocol-legal
+    packet can straddle a boundary unseen.
+
+    AX.25: max_packet_length decoded bytes (ax25.py:15), worst-case HDLC
+    stuffing 6/5 (one stuffed zero per five ones), plus flags.  IL2P: the
+    protocol-max 1023-byte payload framed as sync(3) + header(15) +
+    payload + ceil-split RS parity (16/block, il2p.py:346-358) + trailing
+    CRC(4) = 1125 bytes."""
+    from ..config import AX25CodecSpec, IL2PCodecSpec
+
+    codec = chain.codec
+    if isinstance(codec, AX25CodecSpec):
+        wire_bits = codec.max_packet_length * 8 * 1.2 + 32
+    elif isinstance(codec, IL2PCodecSpec):
+        payload = 1023
+        wire_bits = (3 + 15 + payload + -(-payload // 239) * 16 + 4) * 8
     else:
-        return None
-    return key if same else None
+        wire_bits = 1125 * 8
+    return wire_bits / _chain_bit_rate(chain)
+
+
+# warm-up floor for the recurrent stages (AGC attack, PLL/Costas lock,
+# slicer clock): whichever is longer of a fixed settle time and ~192
+# symbol periods.  Validated by the banked-vs-sequential parity matrix
+# (tests/test_runtime_parity_matrix.py) -- widen here if a new family's
+# loop acquires slower.
+_ACQ_SECONDS_FLOOR = 0.35
+_ACQ_SYMBOLS = 192.0
+
+
+def bank_auto_geometry(bank: Bank, sample_rate: float, dtype,
+                       max_packet_seconds: float | None = None,
+                       target_lanes: int = 2048,
+                       hbm_budget: float = 3e9) -> tuple[float, float]:
+    """(block_seconds, overlap_seconds) for one bank, chosen by the runtime.
+
+    The overlap protects exactly two things: recurrent-loop acquisition
+    (a few hundred symbol periods) and the longest packet that may
+    straddle a block boundary -- by default the PROTOCOL maximum at the
+    bank's bit rate (30 s of wire time for a max IL2P frame at 300 bps,
+    ~0.9 s at 9600), or the caller's ``max_packet_seconds`` traffic bound
+    when the workload's packets are known to be shorter.  The block is
+    then sized so the halo tax (block+overlap)/block stays <= ~1.33 while
+    per-group live intermediates still fit ``hbm_budget`` at
+    ``target_lanes`` concurrent scan lanes (the VPU needs ~1-2k lanes,
+    tools/scan_sweep.py; lanes x bytes-per-lane is HBM-bounded, so larger
+    blocks trade lane count for lower tax).
+
+    Replaces the rate-blind 16 s / 6 s defaults: at 96 kHz those starved
+    nothing but taxed nothing either, while short-packet workloads ran a
+    1.75x redundant-demod halo (BENCH_r03 fsk/4fsk/qpsk)."""
+    acq = max(
+        _ACQ_SECONDS_FLOOR,
+        max(_ACQ_SYMBOLS / c.slicer.symbol_rate for c in bank.specs),
+    )
+    if max_packet_seconds is None:
+        packet = max(_protocol_max_packet_seconds(c) for c in bank.specs)
+    else:
+        packet = float(max_packet_seconds)
+    overlap = acq + packet
+    # largest block that still reaches target_lanes concurrent lanes under
+    # the HBM budget (live bytes/lane ~ (block+overlap)*rate*itemsize*2.5,
+    # the auto_blocks_per_step accounting), floored at 3x overlap so the
+    # halo tax never exceeds ~1.33 even when protection is expensive
+    rate_eff = sample_rate * bank.up
+    bytes_per = jnp.dtype(dtype).itemsize
+    lane_budget_seconds = hbm_budget / (
+        target_lanes * rate_eff * bytes_per * 2.5
+    )
+    block = max(3.0 * overlap, lane_budget_seconds - overlap)
+    return block, overlap
+
+
+def resolve_bank_geometry(bank: Bank, sample_rate: float, dtype,
+                          block_seconds, overlap_seconds,
+                          max_packet_seconds: float | None = None
+                          ) -> tuple[float, float]:
+    """Resolve 'auto' block/overlap requests to concrete per-bank seconds."""
+    if block_seconds == "auto" or overlap_seconds == "auto":
+        auto_block, auto_ov = bank_auto_geometry(
+            bank, sample_rate, dtype, max_packet_seconds
+        )
+        if block_seconds == "auto":
+            block_seconds = auto_block
+        if overlap_seconds == "auto":
+            overlap_seconds = auto_ov
+    return float(block_seconds), float(overlap_seconds)
 
 
 def default_block_plan(n_audio: int, trim: int, sample_rate: float,
@@ -1025,19 +1160,36 @@ def _popcount_stats(sync):
     return jnp.stack([jnp.sum(per_block), jnp.max(per_block)])
 
 
-def auto_candidate_budget_device(sync) -> tuple[int, int]:
-    """Candidate-slot budget + acceptance-scan cap for a device-resident
-    bitmap: reads back TWO scalars in one transfer (the reductions run on
-    device) instead of the whole (C, B, cap) bitmap -- this readback is
-    also the first sync point after the demod program, so it should carry
-    minimum transfer.  The scan cap is the power-of-two bucket covering the
-    busiest block (the unrolled acceptance scan runs that many sequential
-    steps); blocks beyond 64 fall back to the host FSM via ``dropped``."""
+def auto_candidate_budget_device(sync) -> tuple[int, int, int]:
+    """(candidate-slot budget, acceptance-scan cap, busiest-block candidate
+    count) for a device-resident bitmap: reads back TWO scalars in one
+    transfer (the reductions run on device) instead of the whole (C, B,
+    cap) bitmap -- this readback is also the first sync point after the
+    demod program, so it should carry minimum transfer.  The scan cap is
+    the power-of-two bucket covering the busiest block (the unrolled
+    acceptance scan runs that many sequential steps); blocks beyond 64
+    fall back to the host FSM via ``dropped``."""
     total, max_pb = map(int, np.asarray(_popcount_stats(sync)))
     cap = 8
     while cap < min(max_pb, 64):
         cap *= 2
-    return _budget_bucket(total), cap
+    return _budget_bucket(total), cap, max_pb
+
+
+def _auto_max_packets(max_pb: int, default_mp: int, n_rows: int,
+                      lmax: int, hbm_limit: float = 1e9) -> int:
+    """Initial per-block packet-slot budget from the busiest block's
+    candidate count (emitted packets per block never exceed its
+    candidates), bucketed to a power of two so compiles stay rare and
+    bounded so the (rows, mp, lmax) packet buffer stays under
+    ``hbm_limit``.  Right-sizing here avoids the escalation ladder
+    (mp x2 -> full codec recompile + re-run per rung) that a packet-dense
+    block would otherwise climb on its first decode."""
+    mp = default_mp
+    while mp < min(max_pb, MP_CAP):
+        mp *= 2
+    hbm_mp = max(int(hbm_limit / max(n_rows * lmax, 1)), default_mp)
+    return max(min(mp, MP_CAP, hbm_mp), default_mp)
 
 
 def _budget_bucket(n: int, lo: int = 64) -> int:
@@ -1360,15 +1512,59 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
     def collect():
         scan_cap = 64
         cand_budget = total_candidates
+        mp = max_packets_per_block
         if codec_key[0] == "il2p" and total_candidates is None:
             with profiling.timed("candidate_budget"):
-                cand_budget, scan_cap = auto_candidate_budget_device(sync)
-        mp = max_packets_per_block
+                cand_budget, scan_cap, max_pb = (
+                    auto_candidate_budget_device(sync)
+                )
+            # right-size the packet-slot budget from the busiest block's
+            # candidate count -- skips the escalation recompile ladder on
+            # packet-dense blocks (e.g. single-block plans)
+            mp = _auto_max_packets(
+                max_pb, max_packets_per_block,
+                data.shape[0] * data.shape[1], 1041,
+            )
         n_ok, meta_budget, len_budget, comp, dropped = run_exact(
             mp, cand_budget, scan_cap
         )
         return resolve(mp, cand_budget, scan_cap, n_ok, meta_budget,
                        len_budget, comp, dropped)
+
+    return collect
+
+
+def _device_codec_submit_mixed(bank, plan, groups, data, addr, count, sync,
+                               max_packets_per_block, total_candidates,
+                               block0: int = 0,
+                               host_plan: BlockPlan | None = None):
+    """_device_codec_submit over the bank's codec SUB-GROUPS: a bank whose
+    chains mix codec options dispatches one device codec per sub-group of
+    chain rows (sliced along the chain axis; the demod/slicer program
+    already ran once for the whole bank) -- no chain falls back to the
+    host FSM just because its neighbour decodes a different protocol.
+    ``groups`` comes from _codec_subgroups.  Every sub-group dispatches
+    before any readback; collect() drains them in config order."""
+    if len(groups) == 1:
+        return _device_codec_submit(
+            bank, plan, groups[0][0], data, addr, count, sync,
+            max_packets_per_block, total_candidates, block0, host_plan,
+        )
+    subs = []
+    for key, idxs in groups:
+        lo, hi = idxs[0], idxs[-1] + 1
+        sel = slice(lo, hi) if idxs == list(range(lo, hi)) else np.asarray(idxs)
+        subs.append(_device_codec_submit(
+            _bank_chain_subset(bank, idxs), plan, key,
+            data[sel], addr[sel], count[sel], sync[sel],
+            max_packets_per_block, total_candidates, block0, host_plan,
+        ))
+
+    def collect():
+        out: dict[str, list] = {}
+        for c in subs:
+            out.update(c())
+        return out
 
     return collect
 
@@ -1543,7 +1739,7 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
         return bank_device_step(
             bank.kind, bank.slicer_kind, bank.params,
             jnp.asarray(audio, dtype), plan, cap,
-            bank.stream_poly, bank.stream_invert,
+            bank.stream_polys, bank.stream_inverts,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method,
             unroll, st["compact_window"], pallas, st["demap"],
         )
@@ -1562,18 +1758,20 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
     return bank_device_step_grouped(
         bank.kind, bank.slicer_kind, bank.params,
         jnp.asarray(wire), plan, max_blocks_per_step, cap,
-        bank.stream_poly, bank.stream_invert,
+        bank.stream_polys, bank.stream_inverts,
         st["state_mask"], st["bits_per_symbol"], sync_tol, method,
         unroll, st["compact_window"], dtype, pallas, st["demap"],
     )
 
 
 def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
-               block_seconds: float = 16.0, overlap_seconds: float = 6.0,
+               block_seconds: float | str = "auto",
+               overlap_seconds: float | str = "auto",
                method: str = "auto", unroll: int = 8, codec: str = "device",
                max_packets_per_block: int = 8,
                max_blocks_per_step: int | None | str = "auto",
-               total_candidates: int | None = None):
+               total_candidates: int | None = None,
+               max_packet_seconds: float | None = None):
     """Run a full chain list via banked block-parallel device programs.
 
     Returns {chain_name: list[Packet]} with per-block keep-region filtering
@@ -1602,7 +1800,7 @@ def run_banked(chains: list[ChainSpec], audio: np.ndarray, dtype=None,
     for collect in _submit_banked(
         chains, audio, dtype, block_seconds, overlap_seconds, method,
         unroll, codec, max_packets_per_block, max_blocks_per_step,
-        total_candidates,
+        total_candidates, max_packet_seconds,
     ):
         results.update(collect())
     return results
@@ -1653,7 +1851,8 @@ def _host_codec_collect(bank, plan, sync_tol, arrays):
 
 def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
                    method, unroll, codec, max_packets_per_block,
-                   max_blocks_per_step, total_candidates):
+                   max_blocks_per_step, total_candidates,
+                   max_packet_seconds=None):
     """Dispatch every bank's device programs for one recording; return a
     list of collect() closures (one per bank, each -> {chain: packets}).
 
@@ -1673,9 +1872,13 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
     collectors = []
     for bank in banks:
         sample_rate = bank.specs[0].modem.sample_rate
+        bank_block, bank_overlap = resolve_bank_geometry(
+            bank, sample_rate, dtype, block_seconds, overlap_seconds,
+            max_packet_seconds,
+        )
         plan = default_block_plan(
-            len(audio), bank.trim, sample_rate, block_seconds,
-            overlap_seconds, bank.up, bank.trim_post,
+            len(audio), bank.trim, sample_rate, bank_block,
+            bank_overlap, bank.up, bank.trim_post,
         )
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
@@ -1700,11 +1903,11 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
                 bank, plan, st, cap, sync_tol, audio, dtype, method,
                 unroll, group,
             )
-        codec_key = _bank_uniform_codec(bank) if codec == "device" else None
-        if codec_key is not None:
+        groups = _codec_subgroups(bank) if codec == "device" else None
+        if groups is not None:
             data, addr, count, sync = arrays
-            collectors.append(_device_codec_submit(
-                bank, plan, codec_key, data, addr, count, sync,
+            collectors.append(_device_codec_submit_mixed(
+                bank, plan, groups, data, addr, count, sync,
                 max_packets_per_block, total_candidates,
             ))
         else:
@@ -1714,11 +1917,13 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
 
 
 def run_banked_many(chains, audios, depth: int = 1, dtype=None,
-                    block_seconds: float = 16.0, overlap_seconds: float = 6.0,
+                    block_seconds: float | str = "auto",
+                    overlap_seconds: float | str = "auto",
                     method: str = "auto", unroll: int = 8,
                     codec: str = "device", max_packets_per_block: int = 8,
                     max_blocks_per_step: int | None | str = "auto",
-                    total_candidates: int | None = None):
+                    total_candidates: int | None = None,
+                    max_packet_seconds: float | None = None):
     """Pipelined decode of a stream of recordings (the serving loop):
     recording i+1's device programs are dispatched before recording i's
     results are read back, so each readback round trip and host packet
@@ -1735,7 +1940,8 @@ def run_banked_many(chains, audios, depth: int = 1, dtype=None,
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     kw = (dtype, block_seconds, overlap_seconds, method, unroll, codec,
-          max_packets_per_block, max_blocks_per_step, total_candidates)
+          max_packets_per_block, max_blocks_per_step, total_candidates,
+          max_packet_seconds)
 
     def drain(collectors):
         res: dict[str, list] = {}
@@ -1820,10 +2026,12 @@ def _dedup_block_boundary(packets, chain):
 
 
 def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
-                     dtype=None, block_seconds: float = 16.0,
-                     overlap_seconds: float = 6.0, method: str = "auto",
+                     dtype=None, block_seconds: float | str = "auto",
+                     overlap_seconds: float | str = "auto",
+                     method: str = "auto",
                      unroll: int = 8, codec: str = "device",
-                     max_packets_per_block: int = 8):
+                     max_packets_per_block: int = 8,
+                     max_packet_seconds: float | None = None):
     """Decode SEVERAL recordings in one device program per bank.
 
     Every file's overlap-save blocks concatenate along the block axis (the
@@ -1848,13 +2056,17 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
     results: list[dict[str, list]] = [dict() for _ in audios]
     for bank in group_chains(chains, dtype):
         sample_rate = bank.specs[0].modem.sample_rate
+        bank_block, bank_overlap = resolve_bank_geometry(
+            bank, sample_rate, dtype, block_seconds, overlap_seconds,
+            max_packet_seconds,
+        )
         # uniform geometry so every file's blocks share one compiled program:
         # short files use the standard block size too (padded + keep-clipped)
         # instead of default_block_plan's shrunken single block
         demod_rate = sample_rate * bank.up
-        block_len = -(-max(int(block_seconds * demod_rate), bank.up)
+        block_len = -(-max(int(bank_block * demod_rate), bank.up)
                       // bank.up) * bank.up
-        overlap = int(overlap_seconds * demod_rate) // bank.up * bank.up
+        overlap = int(bank_overlap * demod_rate) // bank.up * bank.up
         plans = [
             BlockPlan(len(a), bank.trim, block_len, overlap, bank.up,
                       bank.trim_post)
@@ -1890,12 +2102,12 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
         data, addr, count, sync = bank_device_step_frames(
             bank.kind, bank.slicer_kind, bank.params,
             jnp.asarray(frames), cap,
-            bank.stream_poly, bank.stream_invert,
+            bank.stream_polys, bank.stream_inverts,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
             st["compact_window"], slicer_demap=st["demap"],
         )
-        codec_key = _bank_uniform_codec(bank) if codec == "device" else None
-        if codec_key is not None:
+        groups = _codec_subgroups(bank) if codec == "device" else None
+        if groups is not None:
             # per-file device codec over block-axis slices, all files'
             # codec + compaction dispatched before any packed readback
             # (the fixed template plan keys one jit program and one budget
@@ -1910,8 +2122,8 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
                 nb = plan.n_blocks
                 sl = slice(start, start + nb)
                 start += nb
-                collectors.append((fi, _device_codec_submit(
-                    bank, template, codec_key, data[:, sl], addr[:, sl],
+                collectors.append((fi, _device_codec_submit_mixed(
+                    bank, template, groups, data[:, sl], addr[:, sl],
                     count[:, sl], sync[:, sl], max_packets_per_block,
                     None, host_plan=plan,
                 )))
@@ -1948,10 +2160,12 @@ def run_banked_files(chains: list[ChainSpec], audios: list[np.ndarray],
     return results
 
 def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
-                    block_seconds: float = 16.0, overlap_seconds: float = 6.0,
+                    block_seconds: float | str = "auto",
+                    overlap_seconds: float | str = "auto",
                     method: str = "auto", unroll: int = 8,
                     codec: str = "device", verbose: bool = False,
-                    resilient: bool = True):
+                    resilient: bool = True,
+                    max_packet_seconds: float | None = None):
     """Banked analog of executor.run_plan: full plan -> aggregated report.
 
     Chain order in the aggregate follows the config file (deterministic),
@@ -1974,7 +2188,7 @@ def run_plan_banked(plan, audio: np.ndarray, sample_rate: float, dtype=None,
         by_name = run_banked(
             plan.chains, audio, dtype=dtype, block_seconds=block_seconds,
             overlap_seconds=overlap_seconds, method=method, unroll=unroll,
-            codec=codec,
+            codec=codec, max_packet_seconds=max_packet_seconds,
         )
     except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
         if not resilient:
@@ -2022,10 +2236,12 @@ def _finish_plan(plan, by_name: dict, sample_rate: float):
 
 
 def run_plan_banked_many(plan, audios, sample_rate: float, depth: int = 1,
-                         dtype=None, block_seconds: float = 16.0,
-                         overlap_seconds: float = 6.0, method: str = "auto",
+                         dtype=None, block_seconds: float | str = "auto",
+                         overlap_seconds: float | str = "auto",
+                         method: str = "auto",
                          unroll: int = 8, codec: str = "device",
-                         resilient: bool = True):
+                         resilient: bool = True,
+                         max_packet_seconds: float | None = None):
     """Pipelined run_plan_banked over several recordings (the serving warm
     path): recording i+1's device programs dispatch before recording i's
     packed readback (run_banked_many), so the readback round trip and the
@@ -2036,6 +2252,7 @@ def run_plan_banked_many(plan, audios, sample_rate: float, depth: int = 1,
             plan.chains, audios, depth=depth, dtype=dtype,
             block_seconds=block_seconds, overlap_seconds=overlap_seconds,
             method=method, unroll=unroll, codec=codec,
+            max_packet_seconds=max_packet_seconds,
         )
     except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
         if not resilient:
@@ -2046,7 +2263,8 @@ def run_plan_banked_many(plan, audios, sample_rate: float, depth: int = 1,
             run_plan_banked(plan, a, sample_rate, dtype=dtype,
                             block_seconds=block_seconds,
                             overlap_seconds=overlap_seconds, method=method,
-                            unroll=unroll, codec=codec)
+                            unroll=unroll, codec=codec,
+                            max_packet_seconds=max_packet_seconds)
             for a in audios
         ]
     return [

@@ -99,7 +99,7 @@ def frame_blocks_host(audio: np.ndarray, plan: BlockPlan) -> np.ndarray:
 
 @lru_cache(maxsize=256)
 def _bank_step_fn(mesh: Mesh, kind: str, slicer_kind: str, capacity: int,
-                  poly: int, invert: bool, slicer_static_mask: int,
+                  polys: tuple, inverts: tuple, slicer_static_mask: int,
                   slicer_static_bps: int, sync_tolerance: int, method: str,
                   unroll: int, compact_window: int, pallas: bool,
                   group: int | None, slicer_demap: tuple = ()):
@@ -109,13 +109,17 @@ def _bank_step_fn(mesh: Mesh, kind: str, slicer_kind: str, capacity: int,
         # TPU, scan engines elsewhere; the engine choice resolves OUTSIDE
         # the trace so it keys the jit cache); the one cross-shard
         # dependency, the AGC whole-recording max (agc.py:67), enters as
-        # a pmax collective over the time axis via normal_fn.
+        # a pmax collective over the time axis via normal_fn.  The
+        # descrambler (polys/inverts) covers the FULL bank; chain0 selects
+        # this shard's window of per-chain masks.
+        c_local = int(np.shape(shard_params["sps"])[0])
+        chain0 = jax.lax.axis_index("chain") * c_local
         return bank_mod._bank_frames_compute(
-            kind, slicer_kind, shard_params, frames, capacity, poly,
-            invert, slicer_static_mask, slicer_static_bps, sync_tolerance,
+            kind, slicer_kind, shard_params, frames, capacity, polys,
+            inverts, slicer_static_mask, slicer_static_bps, sync_tolerance,
             method, unroll, compact_window,
             normal_fn=lambda n: jax.lax.pmax(n, "time"), pallas=pallas,
-            slicer_demap=slicer_demap,
+            slicer_demap=slicer_demap, chain0=chain0,
         )
 
     def shard_fn(shard_params, blocks):
@@ -158,7 +162,7 @@ def _bank_step_fn(mesh: Mesh, kind: str, slicer_kind: str, capacity: int,
 
 def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
                       frames: jax.Array, plan: BlockPlan, capacity: int,
-                      poly: int, invert: bool, slicer_static_mask: int,
+                      polys: tuple, inverts: tuple, slicer_static_mask: int,
                       slicer_static_bps: int, sync_tolerance: int = 0,
                       method: str = "auto", unroll: int = 8,
                       compact_window: int = 1, group: int | None = None,
@@ -175,7 +179,8 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
     assert frames.shape[0] % n_time == 0, (frames.shape, n_time)
     pallas = bank_mod._pallas_loop_wanted(frames.dtype)
     fn = _bank_step_fn(
-        mesh, kind, slicer_kind, capacity, poly, invert, slicer_static_mask,
+        mesh, kind, slicer_kind, capacity, polys, inverts,
+        slicer_static_mask,
         slicer_static_bps, sync_tolerance, method, unroll, compact_window,
         pallas, group, slicer_demap,
     )
@@ -542,6 +547,7 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
     def collect():
         scan_cap = 64
         cand_budget = total_candidates
+        mp = max_packets
         if codec_key[0] == "il2p" and total_candidates is None:
             with profiling.timed("sharded_candidate_budget"):
                 shard_total, max_pb = (
@@ -551,21 +557,28 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
                 )
             cand_budget = _budget_bucket(shard_total)
             scan_cap = _scan_cap_bucket(max_pb)
+            # right-size packet slots from the busiest block's candidates
+            # (see bank._auto_max_packets) -- avoids escalation recompiles
+            mp = bank_mod._auto_max_packets(
+                max_pb, max_packets, c_local * b_local, Lmax,
+            )
         n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-            max_packets, cand_budget, scan_cap
+            mp, cand_budget, scan_cap
         )
-        return resolve(max_packets, cand_budget, scan_cap, n_ok,
+        return resolve(mp, cand_budget, scan_cap, n_ok,
                        meta_budget, len_budget, comp, dropped)
 
     return collect
 
 
 def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
-                       block_seconds: float = 16.0, overlap_seconds: float = 6.0,
+                       block_seconds: float | str = "auto",
+                       overlap_seconds: float | str = "auto",
                        method: str = "auto", unroll: int = 8,
                        codec: str = "device", max_packets_per_block: int = 8,
                        total_candidates: int | None = None,
-                       max_blocks_per_step: int | None | str = "auto"):
+                       max_blocks_per_step: int | None | str = "auto",
+                       max_packet_seconds: float | None = None):
     """Sharded analog of bank.run_banked over an existing mesh.
 
     Bank chain counts must divide the mesh 'chain' axis size evenly (pad
@@ -603,9 +616,13 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
                 f"chain axis {n_chain}"
             )
         sample_rate = bank.specs[0].modem.sample_rate
+        bank_block, bank_overlap = bank_mod.resolve_bank_geometry(
+            bank, sample_rate, dtype, block_seconds, overlap_seconds,
+            max_packet_seconds,
+        )
         plan = bank_mod.default_block_plan(
-            len(audio), bank.trim, sample_rate, block_seconds,
-            overlap_seconds, bank.up, bank.trim_post,
+            len(audio), bank.trim, sample_rate, bank_block,
+            bank_overlap, bank.up, bank.trim_post,
         )
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
@@ -645,7 +662,7 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
         data, addr, count, sync = sharded_bank_step(
             mesh, bank.kind, bank.slicer_kind, bank.params,
             framed, plan, cap,
-            bank.stream_poly, bank.stream_invert,
+            bank.stream_polys, bank.stream_inverts,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
             st["compact_window"], group=group, slicer_demap=st["demap"],
         )

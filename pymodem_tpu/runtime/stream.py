@@ -59,16 +59,20 @@ class StreamDecoder:
     >>> packets += dec.flush()
 
     ``overlap_seconds`` must cover loop acquisition PLUS the longest packet
-    duration (a 300 bps IL2P frame lasts ~4-5 s) -- packets straddling a
-    block boundary are decoded by the next block's halo, so a too-short
-    overlap silently drops them.  The defaults are safe down to 300 bps.
+    duration -- packets straddling a block boundary are decoded by the next
+    block's halo, so a too-short overlap silently drops them.  The default
+    'auto' geometry protects the PROTOCOL-maximum packet at each bank's
+    bit rate (bank_auto_geometry); pass ``max_packet_seconds`` when the
+    traffic's packets are known to be shorter to shrink the halo tax.
     """
 
     def __init__(self, chains, sample_rate: float, dtype=None,
-                 block_seconds: float = 8.0, overlap_seconds: float = 6.0,
+                 block_seconds: float | str = "auto",
+                 overlap_seconds: float | str = "auto",
                  blocks_per_step: int = 4, method: str = "auto",
                  unroll: int = 8, codec: str = "device",
-                 max_packets_per_block: int = 8, pipeline_depth: int = 2):
+                 max_packets_per_block: int = 8, pipeline_depth: int = 2,
+                 max_packet_seconds: float | None = None):
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
@@ -81,12 +85,25 @@ class StreamDecoder:
         # each readback behind the next step's compute
         self.pipeline_depth = max(int(pipeline_depth), 0)
         self.blocks_per_step = blocks_per_step
+        banks = bank_mod.group_chains(list(chains), dtype)
+        if block_seconds == "auto" or overlap_seconds == "auto":
+            # one feed-carry geometry serves every bank: take the widest
+            # auto choice across banks (safe for all of them)
+            geos = [
+                bank_mod.bank_auto_geometry(b, sample_rate, dtype,
+                                            max_packet_seconds)
+                for b in banks
+            ]
+            if block_seconds == "auto":
+                block_seconds = max(g[0] for g in geos)
+            if overlap_seconds == "auto":
+                overlap_seconds = max(g[1] for g in geos)
         self.block_len = max(int(block_seconds * sample_rate), 1)
         self.overlap = int(overlap_seconds * sample_rate)
         self._audio = np.zeros(0, dtype=np.float64)
         self._consumed = 0  # absolute index of self._audio[0]
         self._banks = []
-        for bank in bank_mod.group_chains(list(chains), dtype):
+        for bank in banks:
             if bank.up != 1:
                 raise ValueError(
                     f"chain {bank.specs[0].name!r}: output_oversample > 1 "
@@ -157,30 +174,31 @@ class StreamDecoder:
             state.bank.kind, state.bank.slicer_kind, state.bank.params,
             jnp.asarray(window), self.blocks_per_step,
             self.block_len, lin - self.block_len, state.capacity,
-            state.bank.stream_poly, state.bank.stream_invert,
+            state.bank.stream_polys, state.bank.stream_inverts,
             state.static["state_mask"], state.static["bits_per_symbol"],
             state.sync_tol, self.method, self.unroll,
             state.static["compact_window"],
             pallas=_pallas_loop_wanted(self.dtype),
             slicer_demap=state.static["demap"], dtype=self.dtype,
         )
-        codec_key = (
-            bank_mod._bank_uniform_codec(state.bank)
+        groups = (
+            bank_mod._codec_subgroups(state.bank)
             if self.codec == "device"
             else None
         )
-        if codec_key is not None:
+        if groups is not None:
             # device codec + compaction against the FIXED template plan
             # (block indices local to this step, so the jit program and
             # the codec-budget cache key are identical every feed);
             # packets globalize by block0 and clip against the real
-            # stream length on host (bank._device_codec_submit)
+            # stream length on host (bank._device_codec_submit).  Mixed
+            # codec options dispatch per sub-group of chain rows.
             host_plan = BlockPlan(
                 n_audio=self._total, trim=state.bank.trim,
                 block_len=self.block_len, overlap=self.overlap,
             )
-            return bank_mod._device_codec_submit(
-                state.bank, state.plan, codec_key, data, addr, count, sync,
+            return bank_mod._device_codec_submit_mixed(
+                state.bank, state.plan, groups, data, addr, count, sync,
                 self.max_packets_per_block, None, block0=first_block,
                 host_plan=host_plan,
             )

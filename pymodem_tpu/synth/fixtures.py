@@ -15,11 +15,6 @@ from . import encode as enc
 from . import modulate as mod
 
 
-def _line_bits_from_bytes(stream_bytes, polynomial: int, invert: bool) -> list[int]:
-    bits = enc.bytes_to_bits_msb(stream_bytes)
-    return enc.scramble_bits(bits, polynomial, invert)
-
-
 def _idle_bits(n: int) -> list[int]:
     return [1 if i % 2 == 0 else 0 for i in range(n)]
 
@@ -28,15 +23,22 @@ def il2p_line_bits(payloads, polynomial: int = 0x3, invert: bool = False,
                    gap_bits: int = 400, dest: str = "KI5ABC",
                    source: str = "N0CALL") -> list[int]:
     """Concatenated IL2P frames with alternating idle fill, scrambled into
-    line bits."""
-    stream: list[int] = []
-    line: list[int] = []
-    for i, payload in enumerate(payloads):
+    line bits.
+
+    The whole line (idle fill included) scrambles as ONE free-running
+    stream, like a real transmitter and like ax25_line_bits: the decoder's
+    multiplicative descrambler is free-running too (lfsr.py:22-51), so
+    per-frame scrambling with zeroed history would corrupt each frame's
+    first ``poly bit_length`` descrambled bits -- harmless for poly 0x3
+    (1 bit of history, landing on a 0 idle bit) but fatal for G3RUH
+    0x63003, whose 19-bit history straddles the sync word."""
+    bits: list[int] = []
+    for payload in payloads:
         frame = enc.il2p_frame(dest, source, payload)
-        line += _idle_bits(gap_bits)
-        line += _line_bits_from_bytes(frame, polynomial, invert)
-    line += _idle_bits(gap_bits)
-    return line
+        bits += _idle_bits(gap_bits)
+        bits += enc.bytes_to_bits_msb(frame)
+    bits += _idle_bits(gap_bits)
+    return enc.scramble_bits(bits, polynomial, invert)
 
 
 def ax25_line_bits(frames_payloads, polynomial: int = 0x3, invert: bool = True,

@@ -24,6 +24,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the f64 CPU programs (bank pipelines, device
+# codecs) cost seconds to tens of seconds each to compile and the suite
+# compiles hundreds; the cache amortizes that to one compile per program
+# shape across runs (keyed by backend, so it coexists with TPU entries).
+from pymodem_tpu.runtime.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -295,24 +295,37 @@ def test_device_codec_budget_escalation(rng):
     kw = dict(codec="device", block_seconds=2.0, overlap_seconds=1.5)
     roomy = run_banked([chain], audio, max_packets_per_block=16, **kw)
 
+    def pkts(res):
+        return [(p.streamaddress, bytes(p.data)) for p in res[chain.name]]
+
+    # auto sizing: the sizing readback right-sizes the packet-slot budget
+    # from the busiest block's candidate count (_auto_max_packets), so a
+    # deliberately tight default needs ZERO escalation re-runs
     B._CODEC_BUDGET_CACHE.clear()
     profiling.reset()
     profiling.enable(True)
     try:
         tight = run_banked([chain], audio, max_packets_per_block=2, **kw)
         c1 = profiling.counts()
-        again = run_banked([chain], audio, max_packets_per_block=2, **kw)
+    finally:
+        profiling.enable(False)
+    assert c1.get("device_codec_escalate", 0) == 0, c1
+    assert pkts(tight) == pkts(roomy)
+
+    # safety net: with an EXPLICIT candidate budget the sizing readback is
+    # skipped, so the tight budget saturates and the device-side escalation
+    # ladder (packet slots double, codec re-runs) must recover exactly
+    B._CODEC_BUDGET_CACHE.clear()
+    profiling.reset()
+    profiling.enable(True)
+    try:
+        forced = run_banked([chain], audio, max_packets_per_block=2,
+                            total_candidates=64, **kw)
         c2 = profiling.counts()
     finally:
         profiling.enable(False)
-    assert c1.get("device_codec_escalate", 0) >= 1
-    # the learned budgets were cached: the repeat call escalates no further
-    assert c2.get("device_codec_escalate", 0) == c1["device_codec_escalate"]
-
-    def pkts(res):
-        return [(p.streamaddress, bytes(p.data)) for p in res[chain.name]]
-
-    assert pkts(tight) == pkts(roomy) == pkts(again)
+    assert c2.get("device_codec_escalate", 0) >= 1, c2
+    assert pkts(forced) == pkts(roomy)
     assert len(pkts(roomy)) >= 12
 
 
@@ -355,3 +368,131 @@ def test_oversample_through_pipelined_runner(rng):
     )
     with pytest.raises(ValueError, match="output_oversample"):
         StreamDecoder([chain], rate)
+
+
+def test_lfsr_settings_do_not_fragment_banks(rng):
+    """Descrambler (poly, invert) is per-chain DATA, not a grouping key
+    (ops/lfsr.descramble_bytes_multi): the fixture PLL config's invert
+    pair runs as ONE 2-chain bank, and a bank freely mixing polynomials
+    0x3 / 0x63003 / invert decodes every chain identically to running it
+    alone (the reference's process pool mixes any LFSR settings,
+    pymodem.py:140-166, lfsr.py:22-51)."""
+    import jax.numpy as jnp
+
+    from dataclasses import replace
+
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+        load_plan,
+    )
+    from pymodem_tpu.runtime.bank import group_chains, run_banked
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    # the flagship fixture config: two chains identical except invert
+    plan = load_plan(os.path.join(CONFIG_DIR, "afsk_300_pll.json"), 8000)
+    banks = group_chains(plan.chains, jnp.float64)
+    assert len(banks) == 1 and len(banks[0].specs) == 2
+    assert banks[0].stream_inverts == (False, True)
+
+    # a 3-chain bank mixing polynomial AND invert: each chain's segment is
+    # encoded with that chain's own LFSR settings, all share one audio
+    rate = 8000.0
+    settings = [(0x3, False), (0x63003, False), (0x3, True)]
+    segments = []
+    for i, (poly, inv) in enumerate(settings):
+        sent = fx.payloads(rng, count=3, size=24)
+        line = fx.il2p_line_bits(sent, polynomial=poly, invert=inv,
+                                 gap_bits=2000)
+        segments.append(mod.afsk_modulate(line, rate, 1200.0, 1200.0, 2200.0))
+    audio = np.concatenate(segments)
+    base = ChainSpec(
+        name="mix0",
+        modem=AFSKModemSpec(sample_rate=rate),
+        slicer=BinarySlicerSpec(sample_rate=rate, symbol_rate=1200.0,
+                                lock_rate=0.75),
+        stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+        codec=IL2PCodecSpec(ident="mix0"),
+    )
+    chains = [
+        replace(base, name=f"mix{i}", codec=replace(base.codec, ident=f"mix{i}"),
+                stream=LFSRStreamSpec(polynomial=poly, invert=inv))
+        for i, (poly, inv) in enumerate(settings)
+    ]
+    assert len(group_chains(chains, jnp.float64)) == 1
+    kw = dict(block_seconds=2.0, overlap_seconds=1.5)
+    for codec in ("host", "device"):
+        mixed = run_banked(chains, audio, codec=codec, **kw)
+        for chain in chains:
+            solo = run_banked([chain], audio, codec=codec, **kw)
+            got = [(p.streamaddress, bytes(p.data))
+                   for p in mixed[chain.name]]
+            want = [(p.streamaddress, bytes(p.data))
+                    for p in solo[chain.name]]
+            assert got == want, (codec, chain.name)
+            assert len(got) >= 3, (codec, chain.name)
+
+
+def test_mixed_codec_bank_keeps_device_codec(rng):
+    """A bank whose chains mix codec types/options (the reference's A/B
+    pattern: an ax25 and an il2p chain sharing one demod family,
+    chain_builder.py:64-68) dispatches the device codec per codec
+    sub-group instead of dropping the whole bank to the host FSMs --
+    zero host_codec profiling hits, packets identical to the host path."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu import profiling
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        AX25CodecSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+    )
+    from pymodem_tpu.runtime import bank as B
+    from pymodem_tpu.runtime.bank import group_chains, run_banked
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    rate = 8000.0
+    sent_ax = fx.payloads(rng, count=3, size=24)
+    sent_il = fx.payloads(rng, count=3, size=24)
+    line = fx.ax25_line_bits(sent_ax, polynomial=0x3, invert=True,
+                             gap_bits=2000)
+    line += fx.il2p_line_bits(sent_il, polynomial=0x3, invert=False,
+                              gap_bits=2000)
+    audio = mod.afsk_modulate(line, rate, 1200.0, 1200.0, 2200.0)
+    modem = AFSKModemSpec(sample_rate=rate)
+    slicer = BinarySlicerSpec(sample_rate=rate, symbol_rate=1200.0,
+                              lock_rate=0.75)
+    chains = [
+        ChainSpec(name="ab-ax25", modem=modem, slicer=slicer,
+                  stream=LFSRStreamSpec(polynomial=0x3, invert=True),
+                  codec=AX25CodecSpec(ident="ab-ax25")),
+        ChainSpec(name="ab-il2p", modem=modem, slicer=slicer,
+                  stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+                  codec=IL2PCodecSpec(ident="ab-il2p")),
+    ]
+    assert len(group_chains(chains, jnp.float64)) == 1  # shared demod bank
+    kw = dict(block_seconds=2.0, overlap_seconds=1.5)
+    host = run_banked(chains, audio, codec="host", **kw)
+    B._CODEC_BUDGET_CACHE.clear()
+    profiling.reset()
+    profiling.enable(True)
+    try:
+        dev = run_banked(chains, audio, codec="device", **kw)
+        counts = profiling.counts()
+    finally:
+        profiling.enable(False)
+    assert counts.get("host_codec", 0) == 0, counts
+    assert counts.get("device_codec_step", 0) >= 2  # one per codec sub-group
+    for chain in chains:
+        got = [(p.streamaddress, bytes(p.data)) for p in dev[chain.name]]
+        want = [(p.streamaddress, bytes(p.data)) for p in host[chain.name]]
+        assert got == want, chain.name
+        assert len(got) >= 3, chain.name

@@ -39,7 +39,7 @@ def main() -> int:
 
     from pymodem_tpu.config import load_plan
     from pymodem_tpu.dsp.fir import fir_valid_multi, fir_valid_nd
-    from pymodem_tpu.ops.lfsr import descramble_bytes
+    from pymodem_tpu.ops.lfsr import descramble_bytes_multi
     from pymodem_tpu.ops.pallas_slicers import binary_slice_lanes_pallas
     from pymodem_tpu.ops.slicers import compact_windowed
     from pymodem_tpu.ops.sync import il2p_sync_candidates
@@ -147,13 +147,11 @@ def main() -> int:
             if stage == "compact":
                 return (jnp.sum(data), jnp.sum(count))
 
-            def post(d, a, c):
-                d = d.astype(jnp.uint8)
-                d = descramble_bytes(d, bank.stream_poly, bank.stream_invert)
-                sync = il2p_sync_candidates(d, 0)
-                return d, a, c, B.pack_bits(sync)
-
-            d, a, c, sy = jax.vmap(post)(data, addr, count)
+            d = descramble_bytes_multi(
+                data.astype(jnp.uint8), bank.stream_polys,
+                bank.stream_inverts,
+            )
+            sy = B.pack_bits(il2p_sync_candidates(d, 0))
             return (jnp.sum(d.astype(jnp.int32)),
                     jnp.sum(sy.astype(jnp.int32)))
 
