@@ -63,56 +63,73 @@ def _setup_runtime() -> str:
 
 
 def run_decode_many(config_path: str, wav_paths: list[str]) -> list[tuple[int, str]]:
-    """Pipelined decode of several requests sharing one config (the serve.py
-    batch path): on the banked runtime, recording i+1's device programs
-    dispatch before recording i's readback (bank.run_plan_banked_many), so
-    queued requests hide each other's readback/report round trips.  Returns
-    (exit code, captured output) per wav, output identical to run_decode.
-    Non-banked runtimes (and validation failures) fall back per request."""
+    """Pipelined decode of several requests sharing one config."""
+    return run_decode_batch([(config_path, w) for w in wav_paths])
+
+
+def run_decode_batch(requests: list[tuple[str, str]]) -> list[tuple[int, str]]:
+    """Pipelined decode of queued (config, wav) requests -- the serve.py
+    batch path.  On the banked runtime every request's device programs
+    dispatch before earlier requests' readbacks
+    (bank.run_plans_banked_pipelined), so queued requests hide each
+    other's readback/report round trips EVEN ACROSS DIFFERENT configs
+    (same-config batching used to be required).  Returns (exit code,
+    captured output) per request, output identical to run_decode.
+    Non-banked runtimes (and validation failures) fall back per request.
+    """
     import contextlib
     import io
 
-    def _one(wav):
+    def _one(config, wav):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            code = run_decode(config_path, wav)
+            code = run_decode(config, wav)
         return code, buf.getvalue()
 
     runtime = _setup_runtime()
-    if runtime != "banked" or len(wav_paths) == 1:
-        return [_one(w) for w in wav_paths]
+    if runtime != "banked" or len(requests) == 1:
+        return [_one(c, w) for c, w in requests]
 
     import json
 
     from .config import load_plan
-    from .runtime.bank import run_plan_banked_many
+    from .runtime.bank import run_plans_banked_pipelined
     from .wav_io import read_wav
 
-    try:
-        with open(config_path) as fh:
-            for raw in fh:
-                if raw.strip():
-                    json.loads(raw)
-    except Exception:
-        return [(3, "Unable to open config json file.\n")] * len(wav_paths)
-    outputs: list[tuple[int, str] | None] = [None] * len(wav_paths)
-    by_rate: dict[float, list[int]] = {}
-    audios: list = [None] * len(wav_paths)
-    for i, wav in enumerate(wav_paths):
+    outputs: list[tuple[int, str] | None] = [None] * len(requests)
+    cfg_ok: dict[str, bool] = {}
+    plans: dict[tuple[str, float], object] = {}
+    jobs: list[tuple[int, object, object, float]] = []
+    for i, (config, wav) in enumerate(requests):
+        if config not in cfg_ok:
+            try:
+                with open(config) as fh:
+                    for raw in fh:
+                        if raw.strip():
+                            json.loads(raw)
+                cfg_ok[config] = True
+            except Exception:
+                cfg_ok[config] = False
+        if not cfg_ok[config]:
+            outputs[i] = (3, "Unable to open config json file.\n")
+            continue
         try:
             rate, audio = read_wav(wav)
         except Exception:
             outputs[i] = (4, "Unable to open audio file.\n")
             continue
-        audios[i] = audio
-        by_rate.setdefault(rate, []).append(i)
-    for rate, idxs in by_rate.items():
-        try:
-            plan = load_plan(config_path, rate)
-        except Exception as exc:
-            for i in idxs:
-                outputs[i] = (3, f"Unable to open config json file. ({exc})\n")
+        key = (config, rate)
+        if key not in plans:
+            try:
+                plans[key] = load_plan(config, rate)
+            except Exception as exc:
+                plans[key] = (3, f"Unable to open config json file. ({exc})\n")
+        plan = plans[key]
+        if isinstance(plan, tuple):
+            outputs[i] = plan
             continue
+        jobs.append((i, plan, audio, rate))
+    if jobs:
         start = time.time()
         diag = io.StringIO()
         try:
@@ -120,25 +137,27 @@ def run_decode_many(config_path: str, wav_paths: list[str]) -> list[tuple[int, s
             # "skipped chain ...") belong to the CLIENTS, not the server
             # console: capture and prefix them to every grouped response
             with contextlib.redirect_stdout(diag):
-                results = run_plan_banked_many(
-                    plan, [audios[i] for i in idxs], rate, depth=1
+                results = run_plans_banked_pipelined(
+                    [(p, a, r) for _i, p, a, r in jobs], depth=1
                 )
         except Exception:  # resilient contract: retry one at a time
-            for i in idxs:
-                outputs[i] = _one(wav_paths[i])
-            continue
-        # the batch decodes jointly, so per-request wall time is the
-        # per-recording average of the pipelined run
-        elapsed = round((time.time() - start) / len(idxs), 2)
-        for i, result in zip(idxs, results):
-            out = [f"Built {len(plan.chains)} demod chains\n",
-                   f"banked runtime: {len(plan.chains)} chains\n",
-                   diag.getvalue()]
-            for report_spec, text in zip(plan.reports, result.reports):
-                out.append(f"Generating {report_spec.name}\n")
-                out.append(text + "\n")
-            out.append(f"Elapsed time: {elapsed} seconds.\n")
-            outputs[i] = (0, "".join(out))
+            results = None
+        if results is None:
+            for i, _p, _a, _r in jobs:
+                outputs[i] = _one(*requests[i])
+        else:
+            # the batch decodes jointly, so per-request wall time is the
+            # per-request average of the pipelined run
+            elapsed = round((time.time() - start) / len(jobs), 2)
+            for (i, plan, _a, _r), result in zip(jobs, results):
+                out = [f"Built {len(plan.chains)} demod chains\n",
+                       f"banked runtime: {len(plan.chains)} chains\n",
+                       diag.getvalue()]
+                for report_spec, text in zip(plan.reports, result.reports):
+                    out.append(f"Generating {report_spec.name}\n")
+                    out.append(text + "\n")
+                out.append(f"Elapsed time: {elapsed} seconds.\n")
+                outputs[i] = (0, "".join(out))
     return [o if o is not None else (1, "internal error\n") for o in outputs]
 
 

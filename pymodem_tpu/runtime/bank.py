@@ -1034,6 +1034,20 @@ def _protocol_max_packet_seconds(chain: ChainSpec) -> float:
 # loop acquires slower.
 _ACQ_SECONDS_FLOOR = 0.35
 _ACQ_SYMBOLS = 192.0
+# The coherent families (AGC envelope follower + PLL/Costas carrier lock)
+# acquire on ABSOLUTE time scales set by the AGC attack/sustain constants
+# and the loop filter bandwidth, not symbol counts: a hardware boundary
+# case (QPSK-Costas 2400, packet whose byte-phase-shifted address crossed
+# into the next block) showed 0.58 s of cold-start warm-up losing the
+# packet while ~1.3 s decodes it; 1.25 s is the validated floor.
+_ACQ_COHERENT_FLOOR = 1.25
+_COHERENT_KINDS = ("afsk_pll", "bpsk", "qpsk", "mpsk")
+# The 4-level slicer learns its decision threshold from dual AGC envelope
+# followers plus a sync-pattern re-arm (slicer.py:312-389) whose time
+# constants are absolute seconds too: a hardware sweep on synthesized
+# 4FSK-9600 (2026-08-20) decoded 2680/2832 packets at a 0.41 s overlap,
+# 2768 at 0.6 s, and exactly 2832 from 1.0 s up.
+_ACQ_FLOOR_BY_SLICER = {"4level": 1.2}
 
 
 def bank_auto_geometry(bank: Bank, sample_rate: float, dtype,
@@ -1057,8 +1071,15 @@ def bank_auto_geometry(bank: Bank, sample_rate: float, dtype,
     Replaces the rate-blind 16 s / 6 s defaults: at 96 kHz those starved
     nothing but taxed nothing either, while short-packet workloads ran a
     1.75x redundant-demod halo (BENCH_r03 fsk/4fsk/qpsk)."""
+    floor = (
+        _ACQ_COHERENT_FLOOR if bank.kind in _COHERENT_KINDS
+        else _ACQ_SECONDS_FLOOR
+    )
     acq = max(
-        _ACQ_SECONDS_FLOOR,
+        max(
+            _ACQ_FLOOR_BY_SLICER.get(c.slicer.kind, floor)
+            for c in bank.specs
+        ),
         max(_ACQ_SYMBOLS / c.slicer.symbol_rate for c in bank.specs),
     )
     if max_packet_seconds is None:
@@ -2233,6 +2254,47 @@ def _finish_plan(plan, by_name: dict, sample_rate: float):
         for r in plan.reports
     ]
     return RunResult(aggregate=aggregate, reports=reports)
+
+
+def run_plans_banked_pipelined(jobs, depth: int = 1, dtype=None,
+                               block_seconds: float | str = "auto",
+                               overlap_seconds: float | str = "auto",
+                               method: str = "auto", unroll: int = 8,
+                               codec: str = "device",
+                               max_packet_seconds: float | None = None):
+    """Pipelined decode of (plan, audio, sample_rate) jobs that may use
+    DIFFERENT configs: every job's device programs dispatch before earlier
+    jobs' packed readbacks (up to ``depth`` jobs in flight), so a mixed
+    queue -- e.g. a serve.py batch spanning config files -- hides each
+    readback and report build behind the next job's compute instead of
+    serializing at config-group boundaries.  Returns one RunResult per
+    job, identical to per-job run_plan_banked."""
+    from collections import deque
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def drain(item):
+        plan, rate, collectors = item
+        by_name: dict[str, list] = {}
+        for collect in collectors:
+            by_name.update(collect())
+        return _finish_plan(plan, by_name, rate)
+
+    out = []
+    queue: deque = deque()
+    for plan, audio, rate in jobs:
+        if not isinstance(audio, jax.Array):
+            audio = np.asarray(audio)
+        queue.append((plan, rate, _submit_banked(
+            plan.chains, audio, dtype, block_seconds, overlap_seconds,
+            method, unroll, codec, 8, "auto", None, max_packet_seconds,
+        )))
+        if len(queue) > depth:
+            out.append(drain(queue.popleft()))
+    while queue:
+        out.append(drain(queue.popleft()))
+    return out
 
 
 def run_plan_banked_many(plan, audios, sample_rate: float, depth: int = 1,

@@ -102,22 +102,31 @@ class StreamDecoder:
         self.overlap = int(overlap_seconds * sample_rate)
         self._audio = np.zeros(0, dtype=np.float64)
         self._consumed = 0  # absolute index of self._audio[0]
+        # steps dispatched but not yet collected -- persists ACROSS feeds:
+        # a feed returns as soon as its dispatches are queued and only
+        # drains steps beyond pipeline_depth, so the per-feed readback
+        # sync disappears from the steady state (the next feed collects
+        # results whose compute long finished).
+        from collections import deque
+
+        self._pending: deque = deque()  # (state, advance_to, collect)
         self._banks = []
         for bank in banks:
-            if bank.up != 1:
-                raise ValueError(
-                    f"chain {bank.specs[0].name!r}: output_oversample > 1 "
-                    "is supported by run_banked/run_plan_banked but not by "
-                    "the streaming decoder (its feed carry is input-rate)"
-                )
+            # output_oversample chains (afsk.py:164-165): feed carry and
+            # windows stay input-rate; the plan's demod-unit geometry
+            # (up/trim_post, stride_in/front_pad) is the same input-domain
+            # framing the sharded path uses (test_sharded oversample)
             plan = BlockPlan(
-                n_audio=0, trim=bank.trim, block_len=self.block_len,
-                overlap=self.overlap,
+                n_audio=0, trim=bank.trim,
+                block_len=self.block_len * bank.up,
+                overlap=self.overlap * bank.up,
+                up=bank.up, trim_post=bank.trim_post,
             )
             st = _slicer_static(bank)
             cap_plan = BlockPlan(
-                n_audio=self.block_len + self.overlap + bank.trim,
-                trim=bank.trim, block_len=self.block_len, overlap=self.overlap,
+                n_audio=self.block_len + self.overlap + bank.trim + 20,
+                trim=bank.trim, block_len=plan.block_len,
+                overlap=plan.overlap, up=bank.up, trim_post=bank.trim_post,
             )
             self._banks.append(
                 _BankState(
@@ -148,7 +157,9 @@ class StreamDecoder:
         (bank_device_step_window), so this window is also the whole
         host->device transfer for the step."""
         lin = state.plan.block_input_len
-        a0 = first_block * self.block_len - self.overlap  # absolute start
+        # absolute INPUT start (stride_in == self.block_len input samples
+        # per block; front_pad covers the demod-unit overlap + resample halo)
+        a0 = first_block * self.block_len - state.plan.front_pad
         span = (self.blocks_per_step - 1) * self.block_len + lin
         buf = np.zeros(span, dtype=self._audio.dtype)
         lo = max(a0, 0)
@@ -195,14 +206,21 @@ class StreamDecoder:
             # codec options dispatch per sub-group of chain rows.
             host_plan = BlockPlan(
                 n_audio=self._total, trim=state.bank.trim,
-                block_len=self.block_len, overlap=self.overlap,
+                block_len=state.plan.block_len, overlap=state.plan.overlap,
+                up=state.bank.up, trim_post=state.bank.trim_post,
             )
             return bank_mod._device_codec_submit_mixed(
                 state.bank, state.plan, groups, data, addr, count, sync,
                 self.max_packets_per_block, None, block0=first_block,
                 host_plan=host_plan,
             )
-        n_demod_total = self._total - state.plan.trim
+        # demod-unit geometry for stream addresses / keep windows
+        bl = state.plan.block_len
+        ov = state.plan.overlap
+        n_demod_total = BlockPlan(
+            n_audio=self._total, trim=state.bank.trim, block_len=bl,
+            overlap=ov, up=state.bank.up, trim_post=state.bank.trim_post,
+        ).n_demod
 
         def collect():
             d, a, c, s = map(np.asarray, (data, addr, count, sync))
@@ -214,17 +232,17 @@ class StreamDecoder:
                     n = int(c[ci, i])
                     if n == 0:
                         continue
-                    offset = b * self.block_len - self.overlap
+                    offset = b * bl - ov
                     pkts = host_decode_block(
                         chain,
                         d[ci, i, :n].astype(np.int64),
                         a[ci, i, :n].astype(np.int64) + offset,
                         s[ci, i],
                     )
-                    lo = b * self.block_len
-                    hi = (b + 1) * self.block_len
+                    lo = b * bl
+                    hi = (b + 1) * bl
                     if final:
-                        hi = min(hi, max(n_demod_total, 0)) if b * self.block_len < n_demod_total else hi
+                        hi = min(hi, max(n_demod_total, 0)) if b * bl < n_demod_total else hi
                     new_pkts.extend(
                         p for p in pkts if lo < p.streamaddress <= hi
                     )
@@ -252,47 +270,41 @@ class StreamDecoder:
                 chunk = chunk.astype(np.float64)
         self._audio = np.concatenate([self._audio, chunk])
         self._total += len(chunk)
-        from collections import deque
-
-        # pipelined: up to pipeline_depth steps dispatch ahead of the one
-        # being collected, so each step's packed readback hides behind the
-        # next step's device compute while in-flight device memory stays
-        # bounded.  state.next_block commits only AFTER a step's collect
-        # succeeds: if a collect raises, the uncollected steps' blocks are
-        # re-submitted by the retry feed (their audio is still retained,
-        # since retention keys off the committed cursor).
-        pending: deque = deque()  # (state, advance_to, collect)
-
-        def drain_one():
-            state, advance_to, collect = pending.popleft()
-            for name, pkts in collect().items():
-                self._results[name].extend(pkts)
-            state.next_block = advance_to
-
+        # pipelined ACROSS feeds: up to pipeline_depth steps stay in
+        # flight when feed() returns, so the per-feed readback sync
+        # disappears in steady state -- the next feed (or flush) collects
+        # results whose device compute finished long ago.  state.next_block
+        # commits only AFTER a step's collect succeeds: if a collect
+        # raises, the uncollected steps' blocks are re-submitted by the
+        # retry feed (their audio is still retained, since retention keys
+        # off the committed cursor).
         for state in self._banks:
-            # block b needs input through b*L + L + trim - 1
-            cursor = state.next_block
+            # block b reads the input window [b*L - front_pad,
+            # b*L - front_pad + block_input_len); submit once complete
+            cursor = self._cursor(state)
             while True:
                 last = cursor + self.blocks_per_step - 1
-                need = (last + 1) * self.block_len + state.plan.trim
+                need = (last * self.block_len - state.plan.front_pad
+                        + state.plan.block_input_len)
                 if need > self._total:
                     break
-                pending.append((
+                self._pending.append((
                     state,
                     cursor + self.blocks_per_step,
                     self._submit_blocks(state, cursor,
                                         self.blocks_per_step, final=False),
                 ))
                 cursor += self.blocks_per_step
-                while len(pending) > self.pipeline_depth:
-                    drain_one()
-        while pending:
-            drain_one()
+                while len(self._pending) > self.pipeline_depth:
+                    self._drain_one()
+        while len(self._pending) > self.pipeline_depth:
+            self._drain_one()
         # drop audio no bank will read again (committed cursors only, so a
         # failed collect can always re-read its blocks' samples)
         min_needed_from = self._total  # lowest absolute sample still needed
         for state in self._banks:
-            needed_from = state.next_block * self.block_len - self.overlap
+            needed_from = (state.next_block * self.block_len
+                           - state.plan.front_pad)
             min_needed_from = min(min_needed_from, max(needed_from, 0))
         drop = min_needed_from - self._consumed
         if drop > 0:
@@ -300,34 +312,45 @@ class StreamDecoder:
             self._consumed += drop
         return self._emit_fresh()
 
+    def _cursor(self, state: _BankState) -> int:
+        """Next block index not yet submitted (committed cursor plus any
+        in-flight steps for this bank)."""
+        cursor = state.next_block
+        for st, advance_to, _c in self._pending:
+            if st is state:
+                cursor = max(cursor, advance_to)
+        return cursor
+
+    def _drain_one(self) -> None:
+        state, advance_to, collect = self._pending.popleft()
+        for name, pkts in collect().items():
+            self._results[name].extend(pkts)
+        state.next_block = advance_to
+
+    def drain(self) -> list:
+        """Collect every in-flight step (without submitting new work)."""
+        while self._pending:
+            self._drain_one()
+        return self._emit_fresh()
+
     def flush(self) -> list:
         """Decode the final partial blocks; returns the remaining packets."""
-        from collections import deque
-
-        pending: deque = deque()
-
-        def drain_one():
-            state, advance_to, collect = pending.popleft()
-            for name, pkts in collect().items():
-                self._results[name].extend(pkts)
-            state.next_block = advance_to
-
         for state in self._banks:
-            n_demod = self._total - state.plan.trim
-            last_block = max(-(-n_demod // self.block_len) - 1, -1)
-            if last_block < state.next_block:
+            n_demod = self._total * state.bank.up - state.plan.trim * state.bank.up - state.bank.trim_post
+            last_block = max(-(-n_demod // state.plan.block_len) - 1, -1)
+            if last_block < self._cursor(state):
                 continue
-            for start in range(state.next_block, last_block + 1,
+            for start in range(self._cursor(state), last_block + 1,
                                self.blocks_per_step):
                 n = min(self.blocks_per_step, last_block - start + 1)
-                pending.append((
+                self._pending.append((
                     state, start + n,
                     self._submit_blocks(state, start, n, final=True),
                 ))
-                while len(pending) > self.pipeline_depth:
-                    drain_one()
-        while pending:
-            drain_one()
+                while len(self._pending) > self.pipeline_depth:
+                    self._drain_one()
+        while self._pending:
+            self._drain_one()
         return self._emit_fresh()
 
     def _emit_fresh(self) -> list:
@@ -368,16 +391,32 @@ class StreamDecoder:
         >>> dec2.restore(json.loads(blob))
 
         The reference has no equivalent (its whole WAV is one shot,
-        SURVEY.md section 5); the block runtime's carry structure makes the
-        checkpoint a few KB regardless of how many hours were decoded.
+        SURVEY.md section 5); the block runtime's carry structure keeps the
+        checkpoint small regardless of how many hours were decoded: the
+        audio tail serializes as a zlib-compressed base64 field of its raw
+        samples (a JSON float list measured ~20 bytes PER SAMPLE).
+        In-flight steps are collected first, so the snapshot is complete.
         """
+        import base64
+        import zlib
         from dataclasses import asdict
 
+        # collect in-flight steps WITHOUT emitting (their packets must
+        # come back from feed()/flush() after restore, so the emitted
+        # counters stay in sync with what the caller has actually seen)
+        while self._pending:
+            self._drain_one()
+        tail = np.ascontiguousarray(self._audio)
         return {
-            "version": 1,
+            "version": 2,
             "consumed": int(self._consumed),
             "total": int(self._total),
-            "audio_tail": self._audio.tolist(),
+            "audio_tail": {
+                "dtype": str(tail.dtype),
+                "b64z": base64.b64encode(
+                    zlib.compress(tail.tobytes())
+                ).decode("ascii"),
+            },
             "next_block": [st.next_block for st in self._banks],
             "n_emitted": dict(self._n_emitted),
             "results": {
@@ -393,9 +432,12 @@ class StreamDecoder:
         block geometry as the one that produced the checkpoint; continuing
         feeds after restore yields packets identical to an uninterrupted
         decode (tests/test_stream.py)."""
+        import base64
+        import zlib
+
         from ..packets import Packet
 
-        if state.get("version") != 1:
+        if state.get("version") not in (1, 2):
             raise ValueError(f"unknown checkpoint version: {state.get('version')!r}")
         if len(state["next_block"]) != len(self._banks):
             raise ValueError("checkpoint bank count does not match decoder")
@@ -403,7 +445,14 @@ class StreamDecoder:
             raise ValueError("checkpoint chain names do not match decoder")
         self._consumed = int(state["consumed"])
         self._total = int(state["total"])
-        self._audio = np.asarray(state["audio_tail"], dtype=np.float64)
+        tail = state["audio_tail"]
+        if isinstance(tail, dict):  # v2: compressed raw samples
+            self._audio = np.frombuffer(
+                zlib.decompress(base64.b64decode(tail["b64z"])),
+                dtype=np.dtype(tail["dtype"]),
+            ).copy()
+        else:  # v1: JSON float list
+            self._audio = np.asarray(tail, dtype=np.float64)
         for st, nb in zip(self._banks, state["next_block"]):
             st.next_block = int(nb)
         self._n_emitted = {k: int(v) for k, v in state["n_emitted"].items()}

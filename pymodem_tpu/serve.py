@@ -107,36 +107,29 @@ def _decode_one(config: str, wav: str) -> tuple[int, str]:
 
 
 def _serve_batch(batch) -> None:
-    """Decode a drained request batch: same-config groups pipeline through
-    run_decode_many; singletons take the exact one-shot path."""
-    from .cli import run_decode_many
+    """Decode a drained request batch as ONE pipelined unit -- requests
+    pipeline across DIFFERENT config files too (cli.run_decode_batch);
+    a singleton takes the exact one-shot path."""
+    from .cli import run_decode_batch
 
-    groups: dict[str, list] = {}
-    order: list[str] = []
-    for conn, req in batch:
-        key = req["config"]
-        if key not in groups:
-            groups[key] = []
-            order.append(key)
-        groups[key].append((conn, req))
-    for key in order:
-        items = groups[key]
-        if len(items) == 1:
-            conn, req = items[0]
+    if len(batch) == 1:
+        conn, req = batch[0]
+        code, output = _decode_one(req["config"], req["wav"])
+        _respond(conn, code, output)
+        return
+    try:
+        results = run_decode_batch(
+            [(req["config"], req["wav"]) for _, req in batch]
+        )
+    except Exception:
+        results = None
+    if results is None:
+        for conn, req in batch:
             code, output = _decode_one(req["config"], req["wav"])
             _respond(conn, code, output)
-            continue
-        try:
-            results = run_decode_many(key, [req["wav"] for _, req in items])
-        except Exception:
-            results = None
-        if results is None:
-            for conn, req in items:
-                code, output = _decode_one(req["config"], req["wav"])
-                _respond(conn, code, output)
-            continue
-        for (conn, _req), (code, output) in zip(items, results):
-            _respond(conn, code, output)
+        return
+    for (conn, _req), (code, output) in zip(batch, results):
+        _respond(conn, code, output)
 
 
 def serve(sock_path: str) -> int:

@@ -93,3 +93,10 @@ def rng(request):
     return np.random.default_rng(
         zlib.crc32(request.node.nodeid.encode()) ^ 20260816
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running endurance tests (scale with "
+        "PYMODEM_TPU_SOAK_SECONDS)"
+    )

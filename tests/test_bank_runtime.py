@@ -366,8 +366,18 @@ def test_oversample_through_pipelined_runner(rng):
         [(p.streamaddress, bytes(p.data)) for p in rec[chain.name]] == want
         for rec in piped
     )
-    with pytest.raises(ValueError, match="output_oversample"):
-        StreamDecoder([chain], rate)
+    # streaming decodes oversample chains too now (input-rate feed carry,
+    # demod-unit block plan): chunked feeds == the one-shot banked decode
+    dec = StreamDecoder([chain], rate, **kw, blocks_per_step=2)
+    chunk = int(1.3 * rate)
+    for s in range(0, len(audio), chunk):
+        dec.feed(audio[s : s + chunk])
+    dec.flush()
+    got = [
+        (p.streamaddress, bytes(p.data))
+        for p in dec.packets()[chain.name]
+    ]
+    assert got == want
 
 
 def test_lfsr_settings_do_not_fragment_banks(rng):

@@ -77,3 +77,36 @@ def test_server_roundtrip(tmp_path):
     finally:
         server.terminate()
         server.wait(timeout=30)
+
+
+@pytest.mark.skipif(not os.path.exists(WAV), reason="fixture not available")
+def test_batch_pipelines_across_configs(monkeypatch):
+    """A drained server batch decodes as ONE pipelined unit even when the
+    queued requests use DIFFERENT config files (run_decode_batch ->
+    bank.run_plans_banked_pipelined): per-request output matches the
+    one-shot CLI byte for byte (modulo wall-clock lines)."""
+    import contextlib
+    import io
+
+    from pymodem_tpu.cli import run_decode, run_decode_batch
+
+    monkeypatch.setenv("PYMODEM_TPU_RUNTIME", "banked")
+    cfg_b = "/root/reference/configs/afsk_300.json"
+    if not os.path.exists(cfg_b):
+        pytest.skip("reference configs not available")
+    reqs = [(CONFIG, WAV), (cfg_b, WAV), (CONFIG, WAV)]
+    results = run_decode_batch(reqs)
+    assert [code for code, _ in results] == [0, 0, 0]
+    # the two same-config requests must agree exactly
+    assert _strip_timing(results[0][1]) == _strip_timing(results[2][1])
+    for (config, wav), (code, output) in zip(reqs, results):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            direct = run_decode(config, wav)
+        assert direct == code == 0
+        assert _strip_timing(output) == _strip_timing(buf.getvalue())
+
+    # validation failures keep their per-request exit codes inside a batch
+    bad = run_decode_batch([(CONFIG, "/nonexistent.wav"),
+                            ("/nonexistent.json", WAV), (CONFIG, WAV)])
+    assert [code for code, _ in bad] == [4, 3, 0]

@@ -52,8 +52,12 @@ def test_stream_matches_oneshot(fixture_audio, chunk_len):
         total += len(b)
     assert total > 0
 
-    # bounded memory: retained audio never exceeds a few block groups
-    assert len(dec._audio) <= (4 * 4 + 6 + 2) * rate
+    # bounded memory: retained audio never exceeds the in-flight step
+    # groups (committed cursor lags by up to pipeline_depth steps, whose
+    # audio is kept so a failed collect can re-submit) plus halo
+    assert len(dec._audio) <= (
+        4 * 4 * (1 + dec.pipeline_depth) + 6 + 2
+    ) * rate
 
 
 def test_stream_checkpoint_resume(fixture_audio):
