@@ -43,13 +43,23 @@ DEFAULT_TC = 128  # time-chunk columns per grid step
 
 
 def auto_tile(n_lanes: int) -> tuple[int, int]:
-    """(rt, tc) for a lane count: the tile should just cover the LIVE lanes
-    -- a (32, 128) tile on 904 live lanes computes 4.5x padding (measured
-    2.7x slower than (8, 128) there); at >= 4096 lanes the tall default
-    wins.  tc grows as rt shrinks, holding rt*tc at the VMEM-legal 4096."""
-    rt = min(DEFAULT_RT, max(8, -(-n_lanes // LANE // 8) * 8))
-    tc = max(DEFAULT_TC, min(512, 4096 // rt))
-    return rt, tc - tc % 8
+    """(rt, tc) for a lane count, from a hardware sweep of the FUSED
+    (AGC+loop, 15 param rows / 7 carries) kernel (2026-08-20, v5e):
+
+        lanes 1024:        (8,512) 2.85G  (16,256) 2.25  (32,128) 1.41
+        lanes 2048:        (16,128) 4.27  (16,256) 4.06  (32,128) 2.63
+        lanes 4096..8192:  (16,128) 4.29  ~ (16,256)     (32,128) 4.15
+
+    (16, 128) is best or within noise everywhere at >= 2048 live lanes.
+    Below one exact (8, 512) tile the short tile wins; BETWEEN the quanta
+    the padded cost decides: at e.g. 1032 live lanes both shapes pad to
+    2048 rows, so (16, 128) at its 4.27G padded rate beats (8, 512) at
+    2.85G -- the threshold is one 1024 tile, not 2048.  (The bare unfused
+    kernel prefers taller tiles -- registers are the binding resource, so
+    fusion moves the optimum.)"""
+    if n_lanes > 1024:
+        return 16, 128
+    return 8, 512
 
 # per-lane scalar parameter rows, in this order
 _PLL_PARAMS = ("phase_scale", "set_frequency", "index_scale", "iir_b0",

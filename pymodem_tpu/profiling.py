@@ -70,8 +70,3 @@ def report() -> str:
             f"  {name:<{width}}  {total:8.3f}s  ({_COUNTS[name]} calls)"
         )
     return "\n".join(lines)
-
-
-def reset() -> None:
-    _STAGES.clear()
-    _COUNTS.clear()

@@ -1097,6 +1097,16 @@ def bank_auto_geometry(bank: Bank, sample_rate: float, dtype,
         target_lanes * rate_eff * bytes_per * 2.5
     )
     block = max(3.0 * overlap, lane_budget_seconds - overlap)
+    # keep the Pallas lane path viable: XLA materializes the lane kernels'
+    # lane-padded (>=1024, T) arrays in HBM and _lane_path_ok refuses the
+    # kernel past ~1.5 GB per temp, dropping to the ~2x-slower scan engine
+    # (hardware sweep 2026-08-20: BPSK 602 Msps on the lane path vs 295
+    # once T crossed the guard).  Clamp T = (block+overlap)*rate to a
+    # margin under the guard, but never push the halo tax past 1.5x --
+    # when protection demands a huge overlap (protocol-max packets at low
+    # bit rates) the scan engine is the right engine anyway.
+    t_cap_seconds = 1.2e9 / (1024 * bytes_per) / rate_eff
+    block = min(block, max(t_cap_seconds - overlap, 2.0 * overlap))
     return block, overlap
 
 
@@ -1159,6 +1169,98 @@ def auto_blocks_per_step(n_chains: int, block_input_len: int, n_blocks: int,
     # padding (225 blocks at g=212 would compute 2x212 slots; 2x113 here)
     n_groups = -(-n_blocks // g)
     return -(-n_blocks // n_groups)
+
+
+def plan_bank_run(bank: Bank, n_audio: int, sample_rate: float, dtype,
+                  block_seconds="auto", overlap_seconds="auto",
+                  max_packet_seconds: float | None = None,
+                  max_blocks_per_step="auto",
+                  hbm_budget: float = 3e9):
+    """Resolve one bank's full execution geometry: (BlockPlan, group).
+
+    When both the block size and the group size are 'auto', the block
+    length snaps to the RECORDING so the per-step lane count
+    (chains x blocks-per-group) lands exactly on a Pallas lane-tile
+    quantum.  The lane kernels tile rows in units of 8 sublanes x 128
+    lanes = 1024 ((8,512) tile) or 2048 ((16,128) tile,
+    dsp/pallas_loops.auto_tile); unaligned geometry silently pads -- e.g.
+    8 chains x 129 blocks = 1032 lanes rounds up to 2048 kernel rows, so
+    HALF the loop kernel's compute was dead lanes (hardware stage profile
+    2026-08-20: that kernel was 51% of the PLL pipeline wall time).  The
+    quantum (2048 vs 1024) is chosen by minimizing halo-tax / padded-rate
+    with the sweep-measured rates (4.27 vs 2.85 Gsamples/s); the group's
+    live intermediates stay under ``hbm_budget`` like auto_blocks_per_step.
+    """
+    resolved = resolve_bank_geometry(
+        bank, sample_rate, dtype, block_seconds, overlap_seconds,
+        max_packet_seconds,
+    )
+
+    def fallback():
+        plan = default_block_plan(
+            n_audio, bank.trim, sample_rate, resolved[0], resolved[1],
+            bank.up, bank.trim_post,
+        )
+        group = max_blocks_per_step
+        if group == "auto":
+            group = auto_blocks_per_step(
+                len(bank.specs), plan.block_input_len * plan.up,
+                plan.n_blocks, dtype,
+            )
+        return plan, group
+
+    if block_seconds != "auto" or max_blocks_per_step != "auto":
+        return fallback()
+    C = len(bank.specs)
+    demod_rate = sample_rate * bank.up
+    bytes_per = jnp.dtype(dtype).itemsize
+    ov_len = int(resolved[1] * demod_rate) // bank.up * bank.up
+    n_demod = (n_audio - bank.trim) * bank.up - bank.trim_post
+    # the quantum trade is kernel-rate-weighted only for coherent kinds,
+    # where the fused loop kernel dominates (hardware: 4.27 Gs/s padded at
+    # the (16,128)/2048 tile vs 2.85 at (8,512)/1024); noncoherent
+    # families are FIR/MXU-bound, so halo alone decides and alignment
+    # just keeps the slicer kernel pad-free (equal scores tie toward the
+    # larger quantum = fewer dispatches)
+    coherent = bank.kind in _COHERENT_KINDS
+    quanta = ((2048, 4.27), (1024, 2.85)) if coherent else \
+        ((2048, 1.0), (1024, 1.0))
+    # halo-tax ceiling ~1.67: exact lane occupancy usually beats the
+    # fallback's padded kernels even at this tax (e.g. 8-chain BPSK:
+    # 1024 exact lanes at halo 1.61 vs 800 live in a 1024-row kernel at
+    # halo 1.48 -- 22% less padded work)
+    min_block = -(-3 * ov_len // 2)
+    best = None  # (score, block_len, g)
+    for target, padded_rate in quanta:
+        g = target // C
+        if g < 1:
+            continue
+        lanes = C * g
+        # per-step live intermediates ~ lanes * T * bytes * 2.5
+        t_budget = hbm_budget / (lanes * bytes_per * 2.5)
+        block_max = int(t_budget) - ov_len
+        if block_max < min_block:
+            continue  # halo tax too high at this lane count
+        # 2% slack on the soft HBM bound: without it a recording a hair
+        # past k groups' capacity doubles k (and the halo tax) for a
+        # 0.01% budget overshoot
+        k = -(-n_demod // max(int(g * block_max * 1.02), 1))
+        raw = -(-n_demod // (k * g))
+        block_len = -(-raw // bank.up) * bank.up
+        if block_len < min_block:
+            continue  # recording too short to fill this quantum
+        halo = (block_len + ov_len) / block_len
+        score = halo / padded_rate
+        if best is None or score < best[0]:
+            best = (score, block_len, g)
+    if best is None:
+        return fallback()
+    _, block_len, g = best
+    if block_len >= n_demod:
+        return fallback()
+    plan = BlockPlan(n_audio, bank.trim, block_len, ov_len, bank.up,
+                     bank.trim_post)
+    return plan, (g if g < plan.n_blocks else None)
 
 
 def auto_candidate_budget(sync: np.ndarray) -> int:
@@ -1893,13 +1995,9 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
     collectors = []
     for bank in banks:
         sample_rate = bank.specs[0].modem.sample_rate
-        bank_block, bank_overlap = resolve_bank_geometry(
-            bank, sample_rate, dtype, block_seconds, overlap_seconds,
-            max_packet_seconds,
-        )
-        plan = default_block_plan(
-            len(audio), bank.trim, sample_rate, bank_block,
-            bank_overlap, bank.up, bank.trim_post,
+        plan, group = plan_bank_run(
+            bank, len(audio), sample_rate, dtype, block_seconds,
+            overlap_seconds, max_packet_seconds, max_blocks_per_step,
         )
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
@@ -1911,14 +2009,6 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
             ),
             default=0,
         )
-        group = max_blocks_per_step
-        if group == "auto":
-            # post-resample intermediates are up x larger than the input
-            # block; budget HBM for the demod-rate length
-            group = auto_blocks_per_step(
-                len(bank.specs), plan.block_input_len * plan.up,
-                plan.n_blocks, dtype,
-            )
         with profiling.timed("device_step"):
             arrays = _dispatch_bank_step(
                 bank, plan, st, cap, sync_tol, audio, dtype, method,

@@ -616,13 +616,13 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
                 f"chain axis {n_chain}"
             )
         sample_rate = bank.specs[0].modem.sample_rate
-        bank_block, bank_overlap = bank_mod.resolve_bank_geometry(
-            bank, sample_rate, dtype, block_seconds, overlap_seconds,
-            max_packet_seconds,
-        )
-        plan = bank_mod.default_block_plan(
-            len(audio), bank.trim, sample_rate, bank_block,
-            bank_overlap, bank.up, bank.trim_post,
+        # the SAME plan as the single-device runtime (plan_bank_run aligns
+        # auto geometry to the recording) -- block boundaries must match it
+        # exactly so packets are identical; only the per-shard group is
+        # re-chosen below for the per-device HBM budget
+        plan, _ = bank_mod.plan_bank_run(
+            bank, len(audio), sample_rate, dtype, block_seconds,
+            overlap_seconds, max_packet_seconds, "auto",
         )
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)

@@ -37,6 +37,56 @@ def test_block_plan_covers_stream():
         assert hi == lo
 
 
+def test_plan_bank_run_lane_alignment():
+    """Auto geometry snaps long recordings onto the Pallas lane-tile
+    quanta (per-step chains x blocks-per-group in {1024, 2048} exactly --
+    unaligned counts pad up to the next 1024 rows inside the kernels and
+    waste up to half the loop kernel), keeps the halo tax under ~1.67,
+    and falls back to the unaligned heuristics when the recording cannot
+    fill a quantum."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.config import load_plan as _lp
+    from pymodem_tpu.runtime.bank import group_chains, plan_bank_run
+
+    rate = 8000
+    plan_cfg = _lp(os.path.join(CONFIG_DIR, "afsk_300.json"), rate)
+    from dataclasses import replace
+
+    base = [c for c in plan_cfg.chains
+            if c.name == "AFSK 300 Il2Pc PLL inverted"][0]
+    for n_chains in (8, 32):
+        chains = [
+            replace(base, name=f"p{i}",
+                    modem=replace(base.modem, carrier_freq=1696.0 + i))
+            for i in range(n_chains)
+        ]
+        bank = group_chains(chains, jnp.float32)[0]
+        plan, group = plan_bank_run(
+            bank, 3600 * rate, rate, jnp.float32, "auto", "auto", 3.0,
+            "auto",
+        )
+        lanes = n_chains * (group or plan.n_blocks)
+        assert lanes in (1024, 2048), lanes
+        halo = (plan.block_len + plan.overlap) / plan.block_len
+        assert halo <= 1.67
+        # every keep-range still tiles the stream exactly
+        assert plan.keep_range(plan.n_blocks - 1)[1] == plan.n_demod
+        # a recording too short to fill a quantum falls back (and the
+        # fallback never explodes the block count)
+        short_plan, short_group = plan_bank_run(
+            bank, 60 * rate, rate, jnp.float32, "auto", "auto", 3.0, "auto",
+        )
+        assert n_chains * (short_group or short_plan.n_blocks) < 1024
+    # explicit geometry is untouched by alignment
+    bank = group_chains(chains[:8], jnp.float32)[0]
+    plan, group = plan_bank_run(
+        bank, 3600 * rate, rate, jnp.float32, 16.0, 6.0, None, None,
+    )
+    assert plan.block_len == 16 * rate and plan.overlap == 6 * rate
+    assert group is None
+
+
 def test_frame_blocks_alignment():
     import jax.numpy as jnp
 
