@@ -1374,10 +1374,13 @@ def compact_codec_out(ok, address, length, corrected, packet,
     pos = jnp.where(okf, rank, meta_budget)
 
     def cmeta(x):
+        # rank indices are unique in-bounds (invalid rows hit the
+        # out-of-range drop slot): collision-free scatter lowering
         return (
             jnp.zeros((meta_budget,), jnp.int32)
             .at[pos]
-            .set(x.reshape(-1).astype(jnp.int32), mode="drop")
+            .set(x.reshape(-1).astype(jnp.int32), mode="drop",
+                 unique_indices=True)
         )
 
     ci = jnp.broadcast_to(
@@ -1394,7 +1397,8 @@ def compact_codec_out(ok, address, length, corrected, packet,
     row_src = (
         jnp.zeros((meta_budget,), jnp.int32)
         .at[pos]
-        .set(jnp.arange(C * B * Pk, dtype=jnp.int32), mode="drop")
+        .set(jnp.arange(C * B * Pk, dtype=jnp.int32), mode="drop",
+             unique_indices=True)
     )
     # gather/scatter width tracks the LONGEST valid packet (bucketed, from
     # the same sizes readback), not the structural Lmax of 1041: typical
@@ -1496,7 +1500,16 @@ def _split_compact(flat, meta_budget, len_budget, has_corrected: bool,
 
 
 def _len_bucket(max_len: int, lmax: int) -> int:
-    return min(1 << (max(max_len, 64) - 1).bit_length(), lmax)
+    """Byte-row width bucket: {2^k, 1.5*2^k} like _budget_bucket -- the
+    packed readback is meta_budget x len_budget bytes, and the pow2-only
+    form shipped 128-byte rows for ~90-byte packets (a 25% transfer tax
+    on the packet-dense PLL bench).  Cached-budget reuse stays safe: the
+    packed sizes carry the exact max_len, and overflow redoes compaction
+    with exact budgets (collect's redo path)."""
+    need = max(max_len, 64)
+    p = 1 << (need - 1).bit_length()
+    b = p - p // 4 if need <= p - p // 4 else p
+    return min(b, lmax)
 
 
 def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,

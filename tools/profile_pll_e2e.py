@@ -62,6 +62,74 @@ def main() -> int:
     print(f"chains={n_chains} seconds={seconds} packets={npk} "
           f"best={best*1e3:.1f}ms msps={msps:.1f}")
     print(profiling.report())
+
+    # decompose the dominant collect sync: device compute (scalar-sum
+    # readback of the packed buffer) vs the full packed transfer
+    import jax.numpy as jnp
+
+    from pymodem_tpu.runtime.bank import (
+        _CODEC_BUDGET_CACHE,
+        _submit_banked,
+    )
+
+    done = _submit_banked(chains, tiled, jnp.float32, "auto", "auto",
+                          "auto", 8, "device", 8, "auto", None, 3.0)
+    for c in done:
+        c()
+    import pymodem_tpu.runtime.bank as B
+
+    orig = B.compact_codec_out
+    packed_holder = {}
+
+    def spy(*a, **k):
+        packed_holder["packed"] = out = orig(*a, **k)
+        return out
+
+    # demod-only: the bank device step synced on a scalar (no codec)
+    from pymodem_tpu.runtime.bank import (
+        _dispatch_bank_step,
+        _slicer_static,
+        bank_capacity,
+        group_chains,
+        plan_bank_run,
+    )
+
+    bk = group_chains(chains, jnp.float32)[0]
+    plan2, group2 = plan_bank_run(bk, len(tiled), rate, jnp.float32,
+                                  "auto", "auto", 3.0, "auto")
+    st2 = _slicer_static(bk)
+    cap2 = bank_capacity(bk, plan2)
+    best3 = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        arrays = _dispatch_bank_step(bk, plan2, st2, cap2, 0, tiled,
+                                     jnp.float32, "auto", 8, group2)
+        float(np.asarray(jnp.sum(arrays[2].astype(jnp.int32))))
+        best3 = min(best3, time.perf_counter() - t0)
+    print(f"demod-only(scalar sync)  {best3*1e3:7.1f}ms  "
+          f"lanes={len(bk.specs)*(group2 or plan2.n_blocks)}")
+
+    B.compact_codec_out = spy
+    try:
+        for label in ("compute(scalar sync)", "compute+transfer"):
+            best2 = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                colls = _submit_banked(chains, tiled, jnp.float32, "auto",
+                                       "auto", "auto", 8, "device", 8,
+                                       "auto", None, 3.0)
+                if label == "compute(scalar sync)":
+                    p = packed_holder["packed"]
+                    float(np.asarray(jnp.sum(p[:64].astype(jnp.int32))))
+                else:
+                    for c in colls:
+                        c()
+                best2 = min(best2, time.perf_counter() - t0)
+            p = packed_holder["packed"]
+            print(f"{label:<22} {best2*1e3:7.1f}ms  "
+                  f"(packed {p.nbytes/1e6:.2f} MB)")
+    finally:
+        B.compact_codec_out = orig
     return 0
 
 

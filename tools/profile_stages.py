@@ -66,11 +66,13 @@ def main() -> int:
     tiled = jax.device_put(np.tile(audio, -(-hour // len(audio)))[:hour])
     dtype = jnp.float32
     bank = B.group_chains(chains, dtype)[0]
-    plan = B.default_block_plan(hour, bank.trim, rate)
+    # the runtime's own aligned auto geometry (max_packet bound as in
+    # bench.py) so marginal costs reflect what the bench actually runs
+    plan, g = B.plan_bank_run(bank, hour, rate, dtype, "auto", "auto", 3.0,
+                              "auto")
+    g = g or plan.n_blocks
     st = B._slicer_static(bank)
     cap = B.bank_capacity(bank, plan)
-    g = B.auto_blocks_per_step(n_chains, plan.block_input_len, plan.n_blocks,
-                               dtype) or plan.n_blocks
     params = bank.params
     w = st["compact_window"]
     print(f"family={family} chains={n_chains} n_blocks={plan.n_blocks} "
