@@ -106,9 +106,14 @@ def fir_valid_nd(x: jax.Array, taps: jax.Array, method: str = "auto") -> jax.Arr
     if method == "auto":
         if x.dtype == jnp.float64:
             method = "direct"
-        elif t <= 32:
-            # short taps (e.g. the 7-8 tap AFSK tone correlators): t fused
-            # shift-multiply-adds beat any FFT in both flops and memory
+        elif t <= 8:
+            # very short taps (the 7-8 tap AFSK tone correlators): t fused
+            # shift-multiply-adds beat the 128-wide banded matmul.  The
+            # threshold is 8, not 32: XLA materializes the t shifted
+            # products as full-size HLO temps inside grouped while-loops
+            # (observed 16 x 1.03 GB for the 15-tap FSK gauss LPF over a
+            # (8,128,269k) block group -- v5e OOM), so mid-length taps are
+            # cheaper AND ~t x leaner on the MXU band.
             method = "shift"
         else:
             # banded-Toeplitz matmul on the MXU: ~5x the overlap-save FFT
@@ -196,11 +201,13 @@ def fir_valid_multi(x: jax.Array, taps_stack: jax.Array,
     if method == "auto":
         if x.dtype == jnp.float64:
             method = "direct"
-        elif t <= 32:
-            # short taps (the 7-8 tap AFSK tone correlators): the banded
-            # matmul pads the band to a 128-wide tile, ~17x the FLOPs of
-            # t shift-multiply-adds -- measured 0.7 s vs 0.1 s on the
-            # 64-chain bench hour
+        elif t <= 8:
+            # the 7-8 tap AFSK tone correlators: the banded matmul pads
+            # the band to a 128-wide tile, ~17x the FLOPs of t
+            # shift-multiply-adds -- measured 0.7 s vs 0.1 s on the
+            # 64-chain bench hour.  Longer taps go to the matmul (see
+            # fir_valid_nd: the shift products materialize as full-size
+            # HLO temps in grouped programs).
             method = "shift"
         else:
             method = "matmul"
