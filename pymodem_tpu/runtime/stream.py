@@ -106,10 +106,19 @@ class StreamDecoder:
         # a feed returns as soon as its dispatches are queued and only
         # drains steps beyond pipeline_depth, so the per-feed readback
         # sync disappears from the steady state (the next feed collects
-        # results whose compute long finished).
+        # results whose compute long finished).  collect() closures run on
+        # ONE background worker: the packed readback (a ~31 ms tunnel
+        # round trip plus transfer that releases the GIL) then overlaps
+        # the NEXT step's window upload on the main thread -- the two
+        # host-blocking halves of a step used to serialize, and the
+        # upload alone is ~93 ms per 64-chain step on this tunnel.
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-        self._pending: deque = deque()  # (state, advance_to, collect)
+        self._pending: deque = deque()  # (state, advance_to, Future)
+        self._collector = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="stream-collect"
+        )
         self._banks = []
         for bank in banks:
             # output_oversample chains (afsk.py:164-165): feed carry and
@@ -291,8 +300,9 @@ class StreamDecoder:
                 self._pending.append((
                     state,
                     cursor + self.blocks_per_step,
-                    self._submit_blocks(state, cursor,
-                                        self.blocks_per_step, final=False),
+                    self._collector.submit(self._submit_blocks(
+                        state, cursor, self.blocks_per_step, final=False,
+                    )),
                 ))
                 cursor += self.blocks_per_step
                 while len(self._pending) > self.pipeline_depth:
@@ -322,8 +332,11 @@ class StreamDecoder:
         return cursor
 
     def _drain_one(self) -> None:
-        state, advance_to, collect = self._pending.popleft()
-        for name, pkts in collect().items():
+        # .result() re-raises a failed collect here, BEFORE next_block
+        # advances -- the un-committed blocks are re-submitted by the next
+        # feed, exactly as the synchronous form behaved
+        state, advance_to, future = self._pending.popleft()
+        for name, pkts in future.result().items():
             self._results[name].extend(pkts)
         state.next_block = advance_to
 
@@ -345,7 +358,9 @@ class StreamDecoder:
                 n = min(self.blocks_per_step, last_block - start + 1)
                 self._pending.append((
                     state, start + n,
-                    self._submit_blocks(state, start, n, final=True),
+                    self._collector.submit(self._submit_blocks(
+                        state, start, n, final=True,
+                    )),
                 ))
                 while len(self._pending) > self.pipeline_depth:
                     self._drain_one()
