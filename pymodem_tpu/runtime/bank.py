@@ -639,7 +639,7 @@ def bank_capacity(bank: Bank, plan: BlockPlan) -> int:
                                    "polys", "inverts", "slicer_static_mask",
                                    "slicer_static_bps", "sync_tolerance",
                                    "method", "unroll", "compact_window",
-                                   "pallas", "slicer_demap"))
+                                   "pallas", "slicer_demap", "dtype"))
 def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
                      plan: BlockPlan, capacity: int, polys: tuple,
                      inverts: tuple,
@@ -647,7 +647,7 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
                      sync_tolerance: int = 0,
                      method: str = "auto", unroll: int = 8,
                      compact_window: int = 1, pallas: bool | None = None,
-                     slicer_demap: tuple = ()):
+                     slicer_demap: tuple = (), dtype=None):
     """One bank's full device program: audio (n,) -> per-chain packets' raw
     material (C, B, cap) bytes + addresses + counts + packed IL2P syncword
     candidate map (C, B, cap) uint8.
@@ -656,8 +656,14 @@ def bank_device_step(kind: str, slicer_kind: str, params, audio: jax.Array,
     device in one compiled program; the host FSM only touches candidate
     positions.  vmapped over the chain axis of ``params``; everything inside
     is batched over the block axis.
-    """
+
+    ``audio`` may arrive at the wire dtype (int16 WAV): framing -- a pure
+    copy -- then moves 2-byte elements and the exact int16 -> float cast
+    happens on the (B, Lin) frames (half the pad/concat traffic of casting
+    the stream first)."""
     blocks = frame_blocks(audio, plan)
+    if dtype is not None and blocks.dtype != jnp.dtype(dtype):
+        blocks = blocks.astype(dtype)
     return bank_device_step_frames(
         kind, slicer_kind, params, blocks, capacity, polys, inverts,
         slicer_static_mask, slicer_static_bps, sync_tolerance, method,
@@ -1871,14 +1877,6 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
     -dtype audio upload, HBM bounded by group size.  Returns DEVICE arrays;
     callers decide what (if anything) to read back."""
     pallas = _pallas_loop_wanted(dtype)
-    if max_blocks_per_step is None or plan.n_blocks <= max_blocks_per_step:
-        return bank_device_step(
-            bank.kind, bank.slicer_kind, bank.params,
-            jnp.asarray(audio, dtype), plan, cap,
-            bank.stream_polys, bank.stream_inverts,
-            st["state_mask"], st["bits_per_symbol"], sync_tol, method,
-            unroll, st["compact_window"], pallas, st["demap"],
-        )
     # keep the wire dtype: int16 WAV uploads as int16; frames convert on
     # device (int16 -> f32/f64 is exact, so decisions are unchanged).  Audio
     # already resident on device (a jax.Array, e.g. from a serving loop or a
@@ -1890,6 +1888,15 @@ def _dispatch_bank_step(bank, plan, st, cap, sync_tol, audio, dtype,
         wire = audio if audio.dtype in (np.int16, np.float32) else (
             audio.astype(np.float64) if dtype == jnp.float64
             else audio.astype(np.float32)
+        )
+    if max_blocks_per_step is None or plan.n_blocks <= max_blocks_per_step:
+        return bank_device_step(
+            bank.kind, bank.slicer_kind, bank.params,
+            jnp.asarray(wire), plan, cap,
+            bank.stream_polys, bank.stream_inverts,
+            st["state_mask"], st["bits_per_symbol"], sync_tol, method,
+            unroll, st["compact_window"], pallas, st["demap"],
+            dtype=jnp.dtype(dtype).name,
         )
     return bank_device_step_grouped(
         bank.kind, bank.slicer_kind, bank.params,
