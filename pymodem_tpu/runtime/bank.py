@@ -288,6 +288,37 @@ def _chain_device_params(chain: ChainSpec, dtype):
     return d
 
 
+def _afsk_shared_scales(specs: list[ChainSpec]):
+    """(C,) space-gain ratios when an AFSK bank is a pure space_gain sweep.
+
+    The reference's sweep-bank pattern (its super_opt configs, bench.py)
+    varies ONLY ``space_gain``; every filter is then identical across the
+    bank, and since space_gain scales the space correlator TAPS
+    (afsk.py:143) the whole demod is linear in it: conv, magnitude (g>0)
+    and the resample/output-LPF stages all commute with the scalar.  One
+    chain's convolutions + a per-chain ``mark - s_c*space`` combine then
+    replaces C full demods (the 187-tap BPF alone was ~64 redundant MXU
+    convs on the bench hour).  Detection is on the SPEC fields -- exact,
+    no tap numerics.  None = not a pure sweep (or not worth it)."""
+    if len(specs) < 2:
+        return None
+    fields = (
+        "sample_rate", "symbol_rate", "correlator_span", "correlator_offset",
+        "mark_freq", "space_freq", "input_bpf_low_cutoff",
+        "input_bpf_high_cutoff", "input_bpf_span", "output_lpf_cutoff",
+        "output_lpf_span", "output_oversample",
+    )
+    m0 = specs[0].modem
+    for c in specs[1:]:
+        if any(getattr(c.modem, k) != getattr(m0, k) for k in fields):
+            return None
+    g0 = float(m0.space_gain)
+    gains = [float(c.modem.space_gain) for c in specs]
+    if g0 <= 0 or any(g <= 0 for g in gains):
+        return None  # magnitude linearity needs g > 0
+    return np.asarray([g / g0 for g in gains])
+
+
 def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
     """Group chains into banks keyed by their static structure."""
     banks: dict[tuple, Bank] = {}
@@ -329,11 +360,22 @@ def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
         banks[key].stream_polys += (poly,)
         banks[key].stream_inverts += (invert,)
     out = []
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     for key in order:
         bank = banks[key]
         bank.params = jax.tree_util.tree_map(
             lambda *leaves: np.stack(leaves), *bank.params
         )
+        # pure space_gain sweeps carry a scale row and demod as ONE chain
+        # (_afsk_bank_demod_shared).  The leaf's PRESENCE is the switch --
+        # pytree structure is part of the jit cache key, so no extra
+        # static plumbing.  f64 keeps the per-chain reference operand
+        # order (bit-parity contract); the scalar reassociation is f32
+        # accelerator-path only.
+        if bank.kind == "afsk" and np_dtype != np.float64:
+            scales = _afsk_shared_scales(bank.specs)
+            if scales is not None:
+                bank.params["space_scale"] = scales.astype(np_dtype)
         out.append(bank)
     return out
 
@@ -365,6 +407,47 @@ def _loop_from(d):
     from ..dsp.loops import LoopParams
 
     return LoopParams(**d["loop"])
+
+
+def _afsk_bank_demod_shared(params, blocks: jax.Array, method: str):
+    """All chains of a space_gain-sweep AFSK bank from ONE chain's convs.
+
+    Linearity (see _afsk_shared_scales): baseband_c = M - s_c * S, where
+    M/S are row 0's mark/space magnitude pipelines and s_c is the gain
+    ratio to row 0 (scales renormalize to the CURRENT row 0, so chain
+    subsets -- shard slices -- stay correct).  f32 results differ from
+    the per-chain form only by the scalar reassociation's ulps; decision
+    parity is asserted by tests/test_bank_runtime.py's sweep test.
+    Returns (C, B, L2)."""
+    m = params["modem"]
+    x = fir_valid_nd(blocks, m["input_bpf"][0], method)
+    corr = jnp.stack([m["mark_i"][0], m["mark_q"][0],
+                      m["space_i"][0], m["space_q"][0]])
+    mi, mq, si, sq = fir_valid_multi(x, corr, method)
+    mark = jnp.sqrt(mi * mi + mq * mq)
+    space = jnp.sqrt(si * si + sq * sq)
+
+    def tail(diff):
+        # the (linear) oversample + output-LPF tail, exactly as
+        # demod_blocks' afsk branch applies it to the mark-space diff
+        n_rs = m["resample_taps"].shape[-1]
+        if n_rs > 0:
+            up = (n_rs - 1) // 20
+            n = diff.shape[-1]
+            stuffed = jnp.zeros(diff.shape[:-1] + (n * up,), diff.dtype)
+            stuffed = stuffed.at[..., ::up].set(diff)
+            y = fir_valid_nd(stuffed, m["resample_taps"][0], method)
+            y = fir_valid_nd(y, m["output_lpf"][0], method)
+            t_post = m["output_lpf"].shape[-1] - 1
+            target = (n - 20 - -(-t_post // up)) * up
+            return y[..., :target]
+        return fir_valid_nd(diff, m["output_lpf"][0], method)
+
+    mark_f = tail(mark)
+    space_f = tail(space)
+    scales = params["space_scale"]
+    s = (scales / scales[0]).reshape(-1, 1, 1).astype(mark_f.dtype)
+    return mark_f[None] - s * space_f[None]
 
 
 def demod_blocks(kind: str, params, blocks: jax.Array, method: str,
@@ -735,6 +818,8 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
         if kind in ("afsk_pll", "bpsk", "qpsk", "mpsk"):
             basebands = coherent_bank_demod_pallas(kind, params, blocks,
                                                    method, unroll, normal_fn)
+        elif kind == "afsk" and "space_scale" in params:
+            basebands = _afsk_bank_demod_shared(params, blocks, method)
         else:
             basebands = jax.vmap(
                 lambda cp: demod_blocks(kind, dict(cp), blocks, method,
@@ -782,6 +867,10 @@ def _bank_frames_compute(kind: str, slicer_kind: str, params,
     if kind in ("afsk_pll", "bpsk", "qpsk", "mpsk") and pallas:
         basebands = coherent_bank_demod_pallas(kind, params, blocks, method,
                                                unroll, normal_fn)
+        return post_slicer(*jax.vmap(tail_stages)(params, basebands))
+
+    if kind == "afsk" and "space_scale" in params:
+        basebands = _afsk_bank_demod_shared(params, blocks, method)
         return post_slicer(*jax.vmap(tail_stages)(params, basebands))
 
     def one_chain(chain_params):
@@ -1222,6 +1311,8 @@ def plan_bank_run(bank: Bank, n_audio: int, sample_rate: float, dtype,
     bytes_per = jnp.dtype(dtype).itemsize
     ov_len = int(resolved[1] * demod_rate) // bank.up * bank.up
     n_demod = (n_audio - bank.trim) * bank.up - bank.trim_post
+    if n_demod <= 0:
+        return fallback()  # degenerate recording: default plan clamps it
     # the quantum trade is kernel-rate-weighted only for coherent kinds,
     # where the fused loop kernel dominates (hardware: 4.27 Gs/s padded at
     # the (16,128)/2048 tile vs 2.85 at (8,512)/1024); noncoherent

@@ -87,6 +87,49 @@ def test_plan_bank_run_lane_alignment():
     assert group is None
 
 
+def test_afsk_sweep_shared_demod_matches_per_chain(fixture_audio):
+    """A pure space_gain sweep demods as ONE chain's convolutions plus a
+    per-chain scalar combine (bank._afsk_bank_demod_shared): packets must
+    match the per-chain demod form exactly on the fixture (f32; the only
+    difference is scalar-reassociation ulps)."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from pymodem_tpu.runtime import bank as B
+    from pymodem_tpu.runtime.bank import run_banked
+
+    rate, audio = fixture_audio
+    plan = load_plan(os.path.join(CONFIG_DIR, "afsk_300.json"), rate)
+    base = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc Correlator"][0]
+    # the fixture decodes only at space_gain ~1.0 (the bench's 64-chain
+    # sweep expects exactly one chain's packets); 1.0 deliberately NOT
+    # in row 0, so the scale renormalization (s_c/s_0) is exercised
+    chains = [
+        replace(base, name=f"s{i}",
+                modem=replace(base.modem, space_gain=g))
+        for i, g in enumerate((0.99, 1.0, 1.01, 1.02))
+    ]
+    audio = audio[: rate * 60]
+    banks = B.group_chains(chains, jnp.float32)
+    assert len(banks) == 1 and "space_scale" in banks[0].params
+    shared = run_banked(chains, audio, dtype=jnp.float32, codec="host")
+
+    orig = B._afsk_shared_scales
+    try:
+        B._afsk_shared_scales = lambda specs: None
+        per_chain = run_banked(chains, audio, dtype=jnp.float32,
+                               codec="host")
+    finally:
+        B._afsk_shared_scales = orig
+    assert set(shared) == set(per_chain)
+    for name in shared:
+        a = [(p.streamaddress, list(p.data)) for p in shared[name]]
+        b = [(p.streamaddress, list(p.data)) for p in per_chain[name]]
+        assert a == b
+    assert any(shared[n] for n in shared)
+
+
 def test_frame_blocks_alignment():
     import jax.numpy as jnp
 

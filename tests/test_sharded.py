@@ -179,7 +179,10 @@ def test_pll_sharded_pallas_engine(fixture_audio, monkeypatch):
     plan = load_plan(CONFIG, rate)
     base = [c for c in plan.chains if c.name == "AFSK 300 Il2Pc PLL inverted"][0]
     chains = [replace(base, name="pll0")]
-    audio = audio[: rate * 40]
+    # 24 s = 2 blocks at the default fallback geometry (enough for the
+    # time-axis shard + several packets); the Pallas INTERPRETER on CPU
+    # costs ~6 s per simulated second, so length is suite time
+    audio = audio[: rate * 24]
     single = run_banked(chains, audio)
 
     monkeypatch.setenv("PYMODEM_TPU_LOOP_ENGINE", "pallas")
