@@ -376,6 +376,21 @@ def group_chains(chains: list[ChainSpec], dtype) -> list[Bank]:
             scales = _afsk_shared_scales(bank.specs)
             if scales is not None:
                 bank.params["space_scale"] = scales.astype(np_dtype)
+        # coherent carrier sweeps: when EVERY modem leaf is bitwise
+        # identical across chains (only the loop's NCO frequency differs,
+        # which lives in params["loop"]), the whole pre-loop pipeline
+        # (BPF, AGC envelope, Hilbert) computes once and broadcasts --
+        # bitwise equal to the per-chain form, so safe at any dtype.
+        # The flag leaf is (C,)-shaped so it shards like every other leaf.
+        if bank.kind in _COHERENT_KINDS and len(bank.specs) >= 2:
+            m = bank.params["modem"]
+            if all(
+                bool(np.all(np.asarray(leaf) == np.asarray(leaf)[:1]))
+                for leaf in jax.tree_util.tree_leaves(m)
+            ):
+                bank.params["pre_shared"] = np.ones(
+                    len(bank.specs), np_dtype
+                )
         out.append(bank)
     return out
 
@@ -587,13 +602,24 @@ def coherent_bank_demod_pallas(kind: str, params, blocks: jax.Array,
     )
 
     m = params["modem"]
-    x = jax.vmap(lambda taps: fir_valid_nd(blocks, taps, method))(
-        m["input_bpf"]
-    )  # (C, B, L1)
-    # per-chain whole-recording max (agc.py:67), as in demod_blocks; the
-    # AGC follower itself runs in a Pallas lane kernel.  normal_fn turns
-    # the shard-local max into the global one under shard_map.
-    normals = jnp.max(x, axis=(1, 2))
+    pre_shared = "pre_shared" in params
+    if pre_shared:
+        # carrier sweep (group_chains detected every modem leaf bitwise
+        # identical): the BPF runs ONCE and broadcasts -- the per-chain
+        # form would compute C identical convs into the same lane array
+        x1 = fir_valid_nd(blocks, m["input_bpf"][0], method)  # (B, L1)
+        C = int(np.shape(m["input_bpf"])[0])
+        x = jnp.broadcast_to(x1[None], (C,) + x1.shape)
+        normals = jnp.broadcast_to(jnp.max(x1)[None], (C,))
+    else:
+        x = jax.vmap(lambda taps: fir_valid_nd(blocks, taps, method))(
+            m["input_bpf"]
+        )  # (C, B, L1)
+        # per-chain whole-recording max (agc.py:67), as in demod_blocks;
+        # the AGC follower itself runs in a Pallas lane kernel.
+        normals = jnp.max(x, axis=(1, 2))
+    # normal_fn turns the shard-local max into the global one under
+    # shard_map
     if normal_fn is not None:
         normals = normal_fn(normals)
     C, B, L1 = x.shape
@@ -627,12 +653,27 @@ def coherent_bank_demod_pallas(kind: str, params, blocks: jax.Array,
         return (f(i_d.reshape(C, B, L1), rrc), f(q_d.reshape(C, B, L1), rrc))
 
     if kind == "mpsk":
-        x = loop_lanes_pallas(x.reshape(C * B, L1), agc_rows, "agc"
-                              ).reshape(C, B, L1)
-        imag = jax.vmap(lambda d, t: fir_valid_nd(d, t, method))(
-            x, m["hilbert"])
-        delay = (m["hilbert"].shape[-1] - 1) // 2
-        real = x[..., delay:-delay] if delay else x
+        if pre_shared:
+            # AGC + Hilbert are identical across the sweep too: run the
+            # AGC lane kernel over B lanes (not C*B) and the Hilbert conv
+            # once, then broadcast the analytic signal to the chain axis
+            agc0 = jax.tree_util.tree_map(
+                lambda l: jnp.asarray(l).reshape(-1)[:1], m["agc"]
+            )
+            agc1 = agc_lane_params(agc0, normals[:1], 1, B)
+            x1a = loop_lanes_pallas(x1.reshape(B, L1), agc1, "agc")
+            imag1 = fir_valid_nd(x1a, m["hilbert"][0], method)
+            delay = (m["hilbert"].shape[-1] - 1) // 2
+            real1 = x1a[..., delay:-delay] if delay else x1a
+            real = jnp.broadcast_to(real1[None], (C,) + real1.shape)
+            imag = jnp.broadcast_to(imag1[None], (C,) + imag1.shape)
+        else:
+            x = loop_lanes_pallas(x.reshape(C * B, L1), agc_rows, "agc"
+                                  ).reshape(C, B, L1)
+            imag = jax.vmap(lambda d, t: fir_valid_nd(d, t, method))(
+                x, m["hilbert"])
+            delay = (m["hilbert"].shape[-1] - 1) // 2
+            real = x[..., delay:-delay] if delay else x
         L2 = real.shape[-1]
         lane_params = jnp.concatenate([
             base_rows,
