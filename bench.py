@@ -332,9 +332,9 @@ def _family_workload(config_name: str | None, rate: float, vary: str,
     # traffic contract: wire duration of one synthesized IL2P frame
     # (sync 3 + header 15 + payload + RS parity 16 + CRC 4 bytes) at the
     # chain's bit rate, with margin
-    sl = base.slicer
-    bps = getattr(sl, "bits_per_symbol", 2 if sl.kind == "4level" else 1)
-    mps = 2.0 * (3 + 15 + 30 + 16 + 4) * 8 / (sl.symbol_rate * bps)
+    from pymodem_tpu.runtime.bank import _chain_bit_rate
+
+    mps = 2.0 * (3 + 15 + 30 + 16 + 4) * 8 / _chain_bit_rate(base)
     return chains, audio, len(sent) * reps, mps
 
 

@@ -135,11 +135,16 @@ def run_decode_batch(requests: list[tuple[str, str]]) -> list[tuple[int, str]]:
         try:
             # resilience diagnostics ("banked runtime failed ...",
             # "skipped chain ...") belong to the CLIENTS, not the server
-            # console: capture and prefix them to every grouped response
+            # console -- but a batch-wide capture cannot attribute them to
+            # the request that produced them, so ANY diagnostic (like any
+            # exception) degrades the batch to one-at-a-time runs, where
+            # _one scopes each job's output correctly
             with contextlib.redirect_stdout(diag):
                 results = run_plans_banked_pipelined(
                     [(p, a, r) for _i, p, a, r in jobs], depth=1
                 )
+            if diag.getvalue():
+                results = None
         except Exception:  # resilient contract: retry one at a time
             results = None
         if results is None:
@@ -150,9 +155,9 @@ def run_decode_batch(requests: list[tuple[str, str]]) -> list[tuple[int, str]]:
             # per-request average of the pipelined run
             elapsed = round((time.time() - start) / len(jobs), 2)
             for (i, plan, _a, _r), result in zip(jobs, results):
+                # diag is empty on this path (non-empty degraded above)
                 out = [f"Built {len(plan.chains)} demod chains\n",
-                       f"banked runtime: {len(plan.chains)} chains\n",
-                       diag.getvalue()]
+                       f"banked runtime: {len(plan.chains)} chains\n"]
                 for report_spec, text in zip(plan.reports, result.reports):
                     out.append(f"Generating {report_spec.name}\n")
                     out.append(text + "\n")

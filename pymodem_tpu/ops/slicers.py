@@ -82,18 +82,35 @@ def compact_windowed(enc: jax.Array, window: int, capacity: int):
     as compact_bytes on the dense emission stream.
 
     ONE scatter, not two: (window index, pos, byte) pack into a single
-    int32 value -- windex needs <= 16 bits (NW = T/window stays under
-    23k at the largest block the lane-path guard admits), pos < 256,
-    byte 8 bits -- and data/addresses unpack elementwise after.  The
+    int32 value and data/addresses unpack elementwise after.  The
     scatter is the dominant cost of this stage at ~7 ns per element on
     TPU (the window-16 4FSK bank compacts 14.8M windows per group), so
-    halving the scattered elements halves the stage."""
+    halving the scattered elements halves the stage.  The pack uses
+    exactly log2(window) bits for the in-window position (window is a
+    power of two, static), so windex gets 23 - log2(window) bits --
+    i.e. any block up to 2^23 demod samples, far past the lane-path
+    geometry; a windex overflow would flip the int32 SIGN bit and emit
+    negative stream addresses, so larger blocks (scan-engine territory)
+    take the two-scatter form instead of silently corrupting."""
     valid = (enc & 0x100) != 0
     nw = enc.shape[-1]
-    assert nw <= (1 << 16) and window <= 256, (nw, window)
+    assert window & (window - 1) == 0, window
+    pbits = window.bit_length() - 1
+    if nw << pbits > 1 << 23:  # static: block too long for the packed form
+        byte = (enc & 0xFF).astype(jnp.int32)
+        poff = (enc >> 16).astype(jnp.int32)
+        base = jnp.arange(nw, dtype=jnp.int32) * window
+        address = base + poff + 1
+        idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        pos = jnp.where(valid, idx, capacity)
+        data = jnp.zeros((capacity,), jnp.int32).at[pos].set(
+            byte, mode="drop", unique_indices=True)
+        addr = jnp.zeros((capacity,), jnp.int32).at[pos].set(
+            jnp.where(valid, address, 0), mode="drop", unique_indices=True)
+        return data, addr, jnp.sum(valid.astype(jnp.int32))
     windex = jnp.arange(nw, dtype=jnp.int32)
     packed = (
-        (windex << 16) | ((enc >> 16) << 8) | (enc & 0xFF)
+        (windex << (8 + pbits)) | ((enc >> 16) << 8) | (enc & 0xFF)
     ).astype(jnp.int32)
     idx = jnp.cumsum(valid.astype(jnp.int32)) - 1
     pos = jnp.where(valid, idx, capacity)
@@ -104,7 +121,9 @@ def compact_windowed(enc: jax.Array, window: int, capacity: int):
     data = out & 0xFF
     filled = jnp.arange(capacity, dtype=jnp.int32) < count
     addr = jnp.where(
-        filled, (out >> 16) * window + ((out >> 8) & 0xFF) + 1, 0
+        filled,
+        (out >> (8 + pbits)) * window + ((out >> 8) & (window - 1)) + 1,
+        0,
     )
     return data, addr, count
 

@@ -333,10 +333,20 @@ class StreamDecoder:
 
     def _drain_one(self) -> None:
         # .result() re-raises a failed collect here, BEFORE next_block
-        # advances -- the un-committed blocks are re-submitted by the next
-        # feed, exactly as the synchronous form behaved
+        # advances.  On failure the WHOLE in-flight pipeline is abandoned:
+        # later steps' advance_to values feed _cursor, so leaving them
+        # queued would let the next successful commit jump next_block
+        # PAST the failed step's never-collected blocks (silent packet
+        # loss).  Dropping them means the retry feed re-submits everything
+        # from the committed cursors -- their audio is still retained,
+        # since retention keys off next_block.
         state, advance_to, future = self._pending.popleft()
-        for name, pkts in future.result().items():
+        try:
+            results = future.result()
+        except BaseException:
+            self._pending.clear()
+            raise
+        for name, pkts in results.items():
             self._results[name].extend(pkts)
         state.next_block = advance_to
 

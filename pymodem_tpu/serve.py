@@ -20,12 +20,12 @@ Protocol: one JSON request line per connection over a unix socket --
 
 Queued requests PIPELINE: after accepting one request the server drains
 any further connections already waiting (a short accept window,
-PYMODEM_TPU_SERVE_BATCH_WINDOW seconds), groups them by config file, and
-decodes each group through cli.run_decode_many -- recording i+1's device
-programs dispatch before recording i's packed readback, hiding the tunnel
-round trip and the host report build behind device compute
-(bank.run_plan_banked_many / run_banked_many).  A single queued request
-takes the one-shot path, byte-identical to the direct CLI.
+PYMODEM_TPU_SERVE_BATCH_WINDOW seconds) and decodes the WHOLE batch --
+even across different config files -- through cli.run_decode_batch
+(bank.run_plans_banked_pipelined): request i+1's device programs
+dispatch before request i's packed readback, hiding the tunnel round
+trip and the host report build behind device compute.  A single queued
+request takes the one-shot path, byte-identical to the direct CLI.
 """
 
 from __future__ import annotations

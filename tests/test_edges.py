@@ -61,3 +61,38 @@ def test_dc_and_fullscale_audio():
     audio = np.full(8000 * 5, 32767, dtype=np.int16)
     out = run_banked([_chain()], audio)
     assert out == {"edge": []}
+
+
+def test_compact_windowed_large_block_addresses():
+    """The packed single-scatter compaction must keep addresses exact far
+    past window index 32768 (a windex overflow would flip the int32 sign
+    bit: observed addr -260284 before the width fix), and blocks beyond
+    the 2^23-sample pack budget must take the two-scatter fallback with
+    identical results."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.ops.slicers import compact_windowed
+
+    rng = np.random.default_rng(11)
+    for window, nw in ((8, 40_000), (16, 60_000), (4, 3_000_000)):
+        # sparse emissions, including one in the LAST window
+        hot = np.unique(
+            np.concatenate([
+                rng.integers(0, nw, 200), [0, 32_999, nw - 1]
+            ])
+        )
+        enc = np.zeros(nw, np.int32)
+        poff = rng.integers(0, window, len(hot))
+        byte = rng.integers(0, 256, len(hot))
+        enc[hot] = (poff << 16) | 0x100 | byte
+        cap = 256
+        data, addr, count = map(
+            np.asarray, compact_windowed(jnp.asarray(enc), window, cap)
+        )
+        n = min(len(hot), cap)
+        assert int(count) == len(hot)
+        expect_addr = hot * window + poff + 1
+        assert (addr[:n] > 0).all()
+        np.testing.assert_array_equal(addr[:n], expect_addr[:n])
+        np.testing.assert_array_equal(data[:n], byte[:n])
+        assert (addr[n:] == 0).all() and (data[n:] == 0).all()
