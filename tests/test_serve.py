@@ -110,3 +110,28 @@ def test_batch_pipelines_across_configs(monkeypatch):
     bad = run_decode_batch([(CONFIG, "/nonexistent.wav"),
                             ("/nonexistent.json", WAV), (CONFIG, WAV)])
     assert [code for code, _ in bad] == [4, 3, 0]
+
+
+@pytest.mark.skipif(not os.path.exists(WAV), reason="fixture not available")
+def test_batch_diagnostics_degrade_to_per_job(monkeypatch):
+    """A batch whose pipelined run emits resilience diagnostics cannot
+    attribute them to the producing request, so it degrades to
+    one-at-a-time runs (cli.run_decode_batch): every response then
+    carries only its own job's output, and no response contains the
+    batch-scope diagnostic."""
+    from pymodem_tpu import cli
+    from pymodem_tpu.runtime import bank as bank_mod
+
+    monkeypatch.setenv("PYMODEM_TPU_RUNTIME", "banked")
+    real = bank_mod.run_plans_banked_pipelined
+
+    def spy(jobs, depth=1):
+        print("banked runtime failed for SOME chain (synthetic)")
+        return real(jobs, depth=depth)
+
+    monkeypatch.setattr(bank_mod, "run_plans_banked_pipelined", spy)
+    results = cli.run_decode_batch([(CONFIG, WAV), (CONFIG, WAV)])
+    assert [code for code, _ in results] == [0, 0]
+    for _code, output in results:
+        assert "synthetic" not in output
+        assert "Unique packets" in output or "packets" in output
