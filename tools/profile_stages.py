@@ -11,8 +11,11 @@ carries the timing harness).
 
     python tools/profile_stages.py [pll|afsk] [n_chains]
 
-Each timing forces a scalar readback; ~31 ms of tunnel round trip rides
-on every line.
+Each timing forces a scalar readback; ~24-31 ms of tunnel round trip
+rides on every line.  NOTE the FIRST row therefore absorbs the RTT --
+"frames 26 ms" is ~3 ms of actual framing; only the DIFFERENCES between
+adjacent rows are meaningful stage costs (this misattribution sent a
+round-4 session chasing a framing copy that barely exists).
 """
 
 import sys
