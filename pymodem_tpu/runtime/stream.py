@@ -157,6 +157,12 @@ class StreamDecoder:
         # per-chain count of deduplicated packets already returned by
         # feed()/flush() -- the incremental view of packets()
         self._n_emitted: dict[str, int] = {c.name: 0 for c in chains}
+        # deduplicated packets PRUNED from the front of _results: emitted
+        # packets far behind the committed frontier are dropped so retained
+        # state (and checkpoints) stay bounded by the stream TAIL, not the
+        # stream length (a multi-hour soak otherwise grows the checkpoint
+        # linearly with decoded traffic)
+        self._emitted_base: dict[str, int] = {c.name: 0 for c in chains}
         self._total = 0  # absolute samples received
 
     def _window_for(self, state: _BankState, first_block: int):
@@ -383,15 +389,58 @@ class StreamDecoder:
 
         Blocks decode in address order per chain, so the deduplicated list
         only ever grows at the tail; returning the suffix past the emitted
-        count gives incremental results identical to packets()."""
+        count gives incremental results identical to packets().  After
+        emission, packets far behind the committed frontier prune."""
         fresh: list = []
-        for name, pkts in self.packets().items():
-            fresh.extend(pkts[self._n_emitted[name]:])
-            self._n_emitted[name] = len(pkts)
+        for state in self._banks:
+            for chain in state.bank.specs:
+                name = chain.name
+                deduped = _dedup_block_boundary(
+                    list(self._results[name]), chain
+                )
+                start = self._n_emitted[name] - self._emitted_base[name]
+                fresh.extend(deduped[start:])
+                self._n_emitted[name] = (
+                    self._emitted_base[name] + len(deduped)
+                )
+                self._prune_chain(state, chain)
         return fresh
 
+    def _prune_chain(self, state: _BankState, chain) -> None:
+        """Drop emitted packets that can no longer dedup against anything:
+        addresses at least a block + overlap + dedup-window behind the
+        committed frontier, cut only across an address gap wider than the
+        dedup window so no duplicate pair spans the cut.  Keeps retained
+        results -- and state() checkpoints -- bounded by the stream tail."""
+        name = chain.name
+        raw = self._results[name]
+        if len(raw) < 64:
+            return
+        sl = chain.slicer
+        window = 16.0 * sl.sample_rate / sl.symbol_rate
+        cutoff = (
+            state.next_block * state.plan.block_len
+            - state.plan.block_len - state.plan.overlap - window
+        )
+        cut = 0
+        for i, p in enumerate(raw):
+            if p.streamaddress > cutoff:
+                break
+            nxt = raw[i + 1].streamaddress if i + 1 < len(raw) else None
+            if nxt is None or nxt - p.streamaddress >= window:
+                cut = i + 1
+        if cut:
+            self._emitted_base[name] += len(
+                _dedup_block_boundary(raw[:cut], chain)
+            )
+            self._results[name] = raw[cut:]
+
     def packets(self) -> dict[str, list]:
-        """All packets so far, per chain, block-boundary deduplicated."""
+        """Retained packets per chain, block-boundary deduplicated.
+
+        Long streams PRUNE emitted packets far behind the frontier (the
+        feed()/flush() return values carry the full stream); short runs
+        retain everything, so this is the complete set for one-shot use."""
         out = {}
         name_to_chain = {
             c.name: c for st in self._banks for c in st.bank.specs
@@ -433,7 +482,7 @@ class StreamDecoder:
             self._drain_one()
         tail = np.ascontiguousarray(self._audio)
         return {
-            "version": 2,
+            "version": 3,
             "consumed": int(self._consumed),
             "total": int(self._total),
             "audio_tail": {
@@ -444,6 +493,9 @@ class StreamDecoder:
             },
             "next_block": [st.next_block for st in self._banks],
             "n_emitted": dict(self._n_emitted),
+            # results hold only the PRUNED tail (_prune_chain), so the
+            # checkpoint stays bounded no matter how many hours decoded
+            "emitted_base": dict(self._emitted_base),
             "results": {
                 name: [asdict(p) for p in pkts]
                 for name, pkts in self._results.items()
@@ -462,7 +514,7 @@ class StreamDecoder:
 
         from ..packets import Packet
 
-        if state.get("version") not in (1, 2):
+        if state.get("version") not in (1, 2, 3):
             raise ValueError(f"unknown checkpoint version: {state.get('version')!r}")
         if len(state["next_block"]) != len(self._banks):
             raise ValueError("checkpoint bank count does not match decoder")
@@ -481,6 +533,12 @@ class StreamDecoder:
         for st, nb in zip(self._banks, state["next_block"]):
             st.next_block = int(nb)
         self._n_emitted = {k: int(v) for k, v in state["n_emitted"].items()}
+        self._emitted_base = {
+            k: int(v)
+            for k, v in state.get(
+                "emitted_base", {k: 0 for k in state["results"]}
+            ).items()
+        }
         self._results = {
             name: [Packet(**d) for d in pkts]
             for name, pkts in state["results"].items()
