@@ -130,6 +130,49 @@ def test_afsk_sweep_shared_demod_matches_per_chain(fixture_audio):
     assert any(shared[n] for n in shared)
 
 
+def test_plan_bank_run_oversample_alignment():
+    """The aligned auto geometry with output_oversample chains: block
+    lengths stay multiples of ``up`` (every block starts on an input
+    sample phase), the lane quantum still lands exactly, and keep ranges
+    tile the demod stream."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+    )
+    from pymodem_tpu.runtime.bank import group_chains, plan_bank_run
+
+    rate = 8000.0
+    for up in (2, 3):
+        chains = [
+            ChainSpec(
+                name=f"ovs{up}-{i}",
+                modem=AFSKModemSpec(sample_rate=rate,
+                                    output_oversample=float(up),
+                                    space_gain=1.0 + 0.01 * i),
+                slicer=BinarySlicerSpec(sample_rate=rate * up,
+                                        symbol_rate=1200.0, lock_rate=0.75),
+                stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+                codec=IL2PCodecSpec(ident=f"o{up}{i}"),
+            )
+            for i in range(8)
+        ]
+        bank = group_chains(chains, jnp.float32)[0]
+        assert bank.up == up
+        n_audio = int(3600 * rate)
+        plan, group = plan_bank_run(
+            bank, n_audio, rate, jnp.float32, "auto", "auto", 1.0, "auto",
+        )
+        assert plan.block_len % up == 0 and plan.overlap % up == 0
+        lanes = 8 * (group or plan.n_blocks)
+        assert lanes in (1024, 2048), lanes
+        assert plan.keep_range(plan.n_blocks - 1)[1] == plan.n_demod
+
+
 def test_frame_blocks_alignment():
     import jax.numpy as jnp
 
