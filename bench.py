@@ -5,8 +5,11 @@ Headline workload: a 64-chain AFSK-300 space-gain sweep bank (the
 reference's sweep-bank pattern, configs/afsk_1200_ax25_super_opt.json)
 decoding ONE HOUR of audio (the bundled fixture WAV tiled) -- full
 pipeline: FIR band-pass, quadrature tone correlators, FIR low-pass,
-symbol-timing slicer, LFSR descrambler, IL2P decode, in fixed-shape
-40-block groups (HBM-bounded regardless of recording length).
+symbol-timing slicer, LFSR descrambler, IL2P decode.  Block/group
+geometry is the runtime's (plan_bank_run: lane-tile-aligned,
+HBM-bounded regardless of recording length), and a pure space_gain
+sweep demods as ONE chain's convolutions plus per-chain scalar
+combines (bank._afsk_bank_demod_shared).
 
 Also measured (reported as extra keys on the same JSON line):
 * the same workload with the fully-on-device codec
