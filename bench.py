@@ -232,9 +232,12 @@ def main() -> int:
         fam_kw = dict(codec="device", max_packet_seconds=fam_mps)
         counts = run_banked(fam_chains, fam_audio, **fam_kw)
         n_fam = sum(len(v) for v in counts.values())
+        # families run sub-second reps and the tunnel adds 0.3-0.4 s of
+        # per-rep jitter (qpsk_costas medians spanned 358-733 Msps across
+        # 3-rep captures): 7 reps costs ~3 s and stabilizes the median
         med_fam, _ = _measure(
             lambda: run_banked(fam_chains, fam_audio, **fam_kw),
-            reps=3,
+            reps=7,
         )
         family_stats[fam] = {
             "msps": round(fam_samples / med_fam / 1e6, 2),
