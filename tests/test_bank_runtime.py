@@ -173,6 +173,62 @@ def test_plan_bank_run_oversample_alignment():
         assert plan.keep_range(plan.n_blocks - 1)[1] == plan.n_demod
 
 
+def test_sweep_sharing_detection_negatives():
+    """Sweep sharing must NOT trigger when any demod-relevant field
+    differs: space_gain sweeps with a detuned correlator keep per-chain
+    demods, and coherent banks with differing filters keep per-chain
+    pre-loop pipelines (only pure carrier sweeps share)."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from pymodem_tpu.runtime.bank import group_chains
+
+    plan_cfg = load_plan(os.path.join(CONFIG_DIR, "afsk_300.json"), 8000)
+    corr = [c for c in plan_cfg.chains
+            if c.name == "AFSK 300 Il2Pc Correlator"][0]
+    pll = [c for c in plan_cfg.chains
+           if c.name == "AFSK 300 Il2Pc PLL inverted"][0]
+
+    # space sweep + a correlator_offset detune: linearity no longer holds
+    chains = [
+        replace(corr, name=f"n{i}",
+                modem=replace(corr.modem, space_gain=1.0 + 0.01 * i,
+                              correlator_offset=float(i)))
+        for i in range(4)
+    ]
+    bank = group_chains(chains, jnp.float32)[0]
+    assert "space_scale" not in bank.params
+
+    # zero/negative gains: magnitude linearity needs g > 0
+    chains = [
+        replace(corr, name=f"z{i}",
+                modem=replace(corr.modem, space_gain=g))
+        for i, g in enumerate((1.0, -1.0))
+    ]
+    bank = group_chains(chains, jnp.float32)[0]
+    assert "space_scale" not in bank.params
+
+    # coherent bank with differing input BPF: pre-loop stages differ
+    chains = [
+        replace(pll, name=f"b{i}",
+                modem=replace(pll.modem,
+                              input_bpf_low_cutoff=1200.0 + 10.0 * i))
+        for i in range(2)
+    ]
+    bank = group_chains(chains, jnp.float32)[0]
+    assert "pre_shared" not in bank.params
+
+    # pure carrier sweep: pre-loop stages DO share
+    chains = [
+        replace(pll, name=f"c{i}",
+                modem=replace(pll.modem, carrier_freq=1696.0 + i))
+        for i in range(2)
+    ]
+    bank = group_chains(chains, jnp.float32)[0]
+    assert "pre_shared" in bank.params
+
+
 def test_frame_blocks_alignment():
     import jax.numpy as jnp
 
