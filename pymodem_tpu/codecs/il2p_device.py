@@ -129,14 +129,16 @@ def _descramble_fixed(data, n_valid):
 
 @partial(jax.jit, static_argnames=("max_packets", "collect_crc", "disable_rs",
                                    "min_distance", "total_candidates",
-                                   "total_rs_blocks", "scan_cap"))
+                                   "total_rs_blocks", "scan_cap",
+                                   "rs_fail_frac"))
 def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
                        counts: jax.Array, addresses: jax.Array,
                        max_packets: int = 8, collect_crc: bool = True,
                        disable_rs: bool = False, min_distance: int = 0,
                        total_candidates: int | None = None,
                        total_rs_blocks: int | None = None,
-                       scan_cap: int = 64):
+                       scan_cap: int = 64,
+                       rs_fail_frac: int | None = 2):
     """Decode IL2P packets from byte-stream blocks, fully on device.
 
     data: (..., K) uint8 descrambled stream bytes; sync_packed: (..., K)
@@ -154,21 +156,48 @@ def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
     one payload block, the 5-slot worst case is rare).  Decode work scales
     with these budgets, not with blocks x max_packets; undershoot marks the
     affected stream blocks ``dropped`` so callers can fall back.
+
+    ``rs_fail_frac``: syndrome-zero split knob for the batched RS decodes
+    (ops/rs.py rs_decode_jax fail_budget) -- the expensive correction
+    path runs only on rows with nonzero syndromes, compacted into
+    ~1/frac of each decode chunk's rows.  Clean traffic then pays only
+    the syndrome matmul.  A chunk whose corrupt-row population overflows
+    the budget marks the affected stream blocks ``dropped`` (exact host
+    fallback), and the dispatcher retries with the split disabled
+    (None), so results never depend on the guess.
     """
     batch_shape = data.shape[:-1]
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch_shape):])
     out = _il2p_decode_flat(
         flat(data), flat(sync_packed), counts.reshape(-1), flat(addresses),
         max_packets, collect_crc, disable_rs, min_distance, total_candidates,
-        total_rs_blocks, scan_cap,
+        total_rs_blocks, scan_cap, rs_fail_frac,
     )
     return {k: v.reshape(batch_shape + v.shape[1:]) for k, v in out.items()}
+
+
+_RS_CHUNK = 2048  # rs_decode_jax default chunk_size
+
+
+def _rs_fail_budget(rows: int, frac: int | None) -> int | None:
+    """Per-chunk correction-row budget for the syndrome-zero split:
+    ~rows/frac, bucketed {2^k, 1.5*2^k} so distinct budgets (compiles)
+    stay rare.  None (or a budget that covers the whole chunk, or a tiny
+    batch where the split gathers cost more than they save) disables the
+    split."""
+    if frac is None or rows < 512:
+        return None
+    per = min(rows, _RS_CHUNK)
+    need = max(64, per // frac + 32)
+    p = 1 << (need - 1).bit_length()
+    b = p - p // 4 if need <= p - p // 4 else p
+    return b if b < per else None
 
 
 def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
                       collect_crc, disable_rs, min_distance,
                       total_candidates=None, total_rs_blocks=None,
-                      scan_cap=64):
+                      scan_cap=64, rs_fail_frac=2):
     """Globally candidate-compacted decode.
 
     Candidates are compacted ACROSS the whole (flattened) block batch before
@@ -233,14 +262,25 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     # (T, span_w) uint8, candidate-aligned
 
     # ---- per-candidate fixed-shape decode (vmapped over T) ----
-    hdr_raw = spans[:, :15].astype(jnp.int32)
+    # Dead tail slots (slots > total) carry garbage span bytes; zero them
+    # so the syndrome-zero split sees them as clean instead of spending
+    # correction-budget slots on rows whose results are discarded anyway.
+    hdr_raw = jnp.where(
+        cand_valid[:, None], spans[:, :15].astype(jnp.int32), 0
+    )
+    hdr_ovf = jnp.zeros((T,), bool)
     if disable_rs:
         hdr_corr, hdr_res = hdr_raw, jnp.zeros((T,), jnp.int32)
     else:
-        hdr_corr, hdr_res = rs_ops.rs_decode_jax(
+        fb_hdr = _rs_fail_budget(T, rs_fail_frac)
+        out_h = rs_ops.rs_decode_jax(
             hdr_raw, jnp.full((T,), 15, jnp.int32),
-            num_roots=2, min_distance=min_distance,
+            num_roots=2, min_distance=min_distance, fail_budget=fb_hdr,
         )
+        if fb_hdr is None:
+            hdr_corr, hdr_res = out_h
+        else:
+            hdr_corr, hdr_res, hdr_ovf = out_h
     hdr = jax.vmap(lambda h: _descramble_fixed(h[:13], 13))(hdr_corr)
 
     parsed = jax.vmap(_parse_header)(hdr)
@@ -291,12 +331,19 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     rows_rs = take_rows_shifted(spans_rs, rs_off, 255).astype(jnp.int32)
     rows_rs = jnp.where(rs_valid[:, None], rows_rs, 0)
     sizes_rs = jnp.maximum(jnp.take(flat_sizes, rs_src), 1)
+    pay_ovf = jnp.zeros((Rb,), bool)
     if disable_rs:
         bc_c, br_c = rows_rs, jnp.zeros((Rb,), jnp.int32)
     else:
-        bc_c, br_c = rs_ops.rs_decode_jax(
+        fb_pay = _rs_fail_budget(Rb, rs_fail_frac)
+        out_p = rs_ops.rs_decode_jax(
             rows_rs, sizes_rs, num_roots=16, min_distance=min_distance,
+            fail_budget=fb_pay,
         )
+        if fb_pay is None:
+            bc_c, br_c = out_p
+        else:
+            bc_c, br_c, pay_ovf = out_p
     # per-slot RS results scatter back to (T, MB) for span/failure math
     dest = lcsum - 1  # compact index of each live flat slot
     in_budget = live & (dest < Rb)
@@ -304,8 +351,13 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     blk_res = jnp.where(
         in_budget, jnp.take(br_c, safe_dest), 0
     ).reshape(T, MAX_BLOCKS)
-    rs_overflow = jnp.any(
-        (live & ~in_budget).reshape(T, MAX_BLOCKS), axis=1
+    blk_ovf = jnp.where(
+        in_budget, jnp.take(pay_ovf, safe_dest), False
+    ).reshape(T, MAX_BLOCKS)
+    rs_overflow = (
+        jnp.any((live & ~in_budget).reshape(T, MAX_BLOCKS), axis=1)
+        | jnp.any(blk_ovf, axis=1)
+        | hdr_ovf
     )
 
     # Descramble the corrected data bytes on the compact rows, route them

@@ -248,10 +248,11 @@ def _gf_ops(gf: GFTables):
 
 
 @partial(jax.jit, static_argnames=("num_roots", "first_root", "min_distance",
-                                   "chunk_size"))
+                                   "chunk_size", "fail_budget"))
 def rs_decode_jax(data: jax.Array, block_size: jax.Array, num_roots: int,
                   first_root: int = 0, min_distance: int = 0,
-                  gf: GFTables = GF256, chunk_size: int = 2048):
+                  gf: GFTables = GF256, chunk_size: int = 2048,
+                  fail_budget: int | None = None):
     """Batched RS decode.
 
     data: (B, L) int32 with L >= max block size (255); block_size: (B,) int32.
@@ -261,6 +262,20 @@ def rs_decode_jax(data: jax.Array, block_size: jax.Array, num_roots: int,
     Batches larger than ``chunk_size`` stream through lax.map so the
     (chunk, L, R) syndrome term tensors stay bounded (a 100k-block batch
     would otherwise materialize multi-GB temporaries).
+
+    ``fail_budget`` enables the syndrome-zero split: syndromes (one cheap
+    MXU bit-matmul) run for every row, rows whose syndromes are all zero
+    finish immediately (result 0, data untouched -- exactly the reference
+    outcome, rs_functions.py:141-150, since a zero-syndrome block takes no
+    corrections), and ONLY rows with nonzero syndromes compact into
+    ``fail_budget`` slots (per chunk) for the expensive correction path
+    (Berlekamp / Chien / location sort / Forney / recheck).  Typical
+    decode batches are dominated by clean blocks, so correction work then
+    scales with actual corruption instead of batch size.  The return
+    becomes a 3-tuple (corrected, result, overflow) where ``overflow``
+    marks failing rows past the budget (their result is -1 and their data
+    untouched); callers must surface those rows for retry/fallback --
+    the IL2P device codec turns them into per-block ``dropped`` flags.
     """
     B = data.shape[0]
     if B > chunk_size:
@@ -268,18 +283,24 @@ def rs_decode_jax(data: jax.Array, block_size: jax.Array, num_roots: int,
         data_p = jnp.pad(data, ((0, pad), (0, 0)))
         bs_p = jnp.pad(block_size, (0, pad), constant_values=1)
         n_chunks = (B + pad) // chunk_size
-        corr, res = jax.lax.map(
+        corr, res, ovf = jax.lax.map(
             lambda args: _rs_decode_batch(
-                args[0], args[1], num_roots, first_root, min_distance, gf
+                args[0], args[1], num_roots, first_root, min_distance, gf,
+                fail_budget,
             ),
             (
                 data_p.reshape(n_chunks, chunk_size, -1),
                 bs_p.reshape(n_chunks, chunk_size),
             ),
         )
-        return corr.reshape(-1, data.shape[1])[:B], res.reshape(-1)[:B]
-    return _rs_decode_batch(data, block_size, num_roots, first_root,
-                            min_distance, gf)
+        out = (corr.reshape(-1, data.shape[1])[:B], res.reshape(-1)[:B],
+               ovf.reshape(-1)[:B])
+    else:
+        out = _rs_decode_batch(data, block_size, num_roots, first_root,
+                               min_distance, gf, fail_budget)
+    if fail_budget is None:
+        return out[0], out[1]
+    return out
 
 
 _BITMAT_CACHE: dict = {}
@@ -332,37 +353,93 @@ def _gf2_matmul(bits: jax.Array, mat: np.ndarray) -> jax.Array:
     return jnp.mod(prod, 2.0).astype(jnp.int32)
 
 
+def _rs_syndromes_jax(data, block_size, num_roots, first_root, gf,
+                      m_synd, gmul, gpow):
+    """Batched syndromes: one GF(2) bit-matmul over left-aligned frames.
+
+    Left-aligned evaluation with a per-root exponent fix-up.  The frame
+    exponent at left-aligned column j is (lm-1-j)*r = (bs-1-j)*r +
+    shift*r, a factor alpha^(shift*r_i) uniform over j, so
+    S_i = T_i * alpha^(-shift*r_i) with T_i evaluated through the SAME
+    bit matrix -- no per-row realignment (a windowed gather there cost
+    ~2.5 us/row, dominating the whole decode)."""
+    B, L = data.shape
+    lm = gf.order - 1
+    bit_w = jnp.arange(8, dtype=jnp.int32)
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    d_m = jnp.where(col < block_size[:, None], data, 0)
+    d_f = d_m if L >= lm else jnp.pad(d_m, ((0, 0), (0, lm - L)))
+    bits = ((d_f[..., :lm, None] >> bit_w) & 1).reshape(B, lm * 8)
+    sb = _gf2_matmul(bits, m_synd).reshape(B, num_roots, 8)
+    t_i = jnp.sum(sb << bit_w, axis=2).astype(jnp.int32)  # (B, R)
+    r_i = (first_root + jnp.arange(num_roots, dtype=jnp.int32))[None, :]
+    shift = lm - block_size
+    corr_e = (-(shift[:, None] * r_i)) % lm
+    return gmul(t_i, gpow(corr_e))
+
+
 def _rs_decode_batch(data: jax.Array, block_size: jax.Array, num_roots: int,
                      first_root: int = 0, min_distance: int = 0,
-                     gf: GFTables = GF256):
+                     gf: GFTables = GF256, fail_budget: int | None = None):
+    B, L = data.shape
+    m_synd, m_chien = _bitlinear_mats(num_roots, first_root, gf)
+    gmul, ginv, gpow = _gf_ops(gf)
+    synd = _rs_syndromes_jax(data, block_size, num_roots, first_root, gf,
+                             m_synd, gmul, gpow)
+    if fail_budget is None or fail_budget >= B:
+        corr, res = _rs_correct_batch(
+            data, block_size, synd, num_roots, first_root, min_distance, gf,
+            m_synd, m_chien, gmul, ginv, gpow,
+        )
+        return corr, res, jnp.zeros((B,), bool)
+
+    # ---- syndrome-zero split (see rs_decode_jax docstring) ----
+    # Zero-syndrome rows are DONE: the reference decoder finds no error
+    # locations and the recheck passes with the data untouched
+    # (rs_functions.py:83-150), so result == 0 exactly.  Compact the
+    # failing rows into ``fail_budget`` slots and correct only those.
+    nz = jnp.any(synd != 0, axis=1)
+    cs = jnp.cumsum(nz.astype(jnp.int32))
+    n_fail = cs[-1]
+    F = fail_budget
+    slots = jnp.arange(1, F + 1, dtype=jnp.int32)
+    src = jnp.clip(jnp.searchsorted(cs, slots), 0, B - 1).astype(jnp.int32)
+    valid = slots <= n_fail
+    data_f = jnp.where(valid[:, None], jnp.take(data, src, axis=0), 0)
+    synd_f = jnp.where(valid[:, None], jnp.take(synd, src, axis=0), 0)
+    bs_f = jnp.where(valid, jnp.take(block_size, src), 1)
+    corr_f, res_f = _rs_correct_batch(
+        data_f, bs_f, synd_f, num_roots, first_root, min_distance, gf,
+        m_synd, m_chien, gmul, ginv, gpow,
+    )
+    # scatter the corrected rows back; untouched rows keep their data.
+    # ``src`` is strictly increasing over valid slots, so in-bounds
+    # indices are unique and the scatter is collision-free.
+    dest = jnp.where(valid, src, B)
+    corrected = data.at[dest].set(
+        jnp.where(valid[:, None], corr_f, 0), mode="drop",
+        unique_indices=True,
+    )
+    result = (
+        jnp.zeros((B,), jnp.int32)
+        .at[dest]
+        .set(jnp.where(valid, res_f, 0), mode="drop", unique_indices=True)
+    )
+    overflow = nz & (cs - 1 >= F)
+    result = jnp.where(overflow, -1, result)
+    return corrected, result, overflow
+
+
+def _rs_correct_batch(data, block_size, synd, num_roots, first_root,
+                      min_distance, gf, m_synd, m_chien, gmul, ginv, gpow):
+    """The correction path on precomputed syndromes: Berlekamp-Massey,
+    Chien search, Forney magnitudes, in-place fix, syndrome recheck."""
     order = gf.order
     B, L = data.shape
     t2 = num_roots // 2
-    bs = block_size[:, None]
     lm = order - 1
-    m_synd, m_chien = _bitlinear_mats(num_roots, first_root, gf)
-    gmul, ginv, gpow = _gf_ops(gf)
     shift = lm - block_size  # (B,) right-align offset
     bit_w = jnp.arange(8, dtype=jnp.int32)
-
-    def syndromes(d):
-        # Left-aligned evaluation with a per-root exponent fix-up.  The
-        # frame exponent at left-aligned column j is (lm-1-j)*r =
-        # (bs-1-j)*r + shift*r, a factor alpha^(shift*r_i) uniform over j,
-        # so S_i = T_i * alpha^(-shift*r_i) with T_i evaluated through the
-        # SAME bit matrix -- no per-row realignment (a windowed gather
-        # there cost ~2.5 us/row, dominating the whole decode).
-        col = jnp.arange(L, dtype=jnp.int32)[None, :]
-        d_m = jnp.where(col < bs, d, 0)
-        d_f = d_m if L >= lm else jnp.pad(d_m, ((0, 0), (0, lm - L)))
-        bits = ((d_f[..., :lm, None] >> bit_w) & 1).reshape(B, lm * 8)
-        sb = _gf2_matmul(bits, m_synd).reshape(B, num_roots, 8)
-        t_i = jnp.sum(sb << bit_w, axis=2).astype(jnp.int32)  # (B, R)
-        r_i = (first_root + jnp.arange(num_roots, dtype=jnp.int32))[None, :]
-        corr_e = (-(shift[:, None] * r_i)) % lm
-        return gmul(t_i, gpow(corr_e))
-
-    synd = syndromes(data)
 
     # Berlekamp-Massey, unrolled over the (static) root count.
     locator = jnp.zeros((B, num_roots), jnp.int32).at[:, 0].set(1)
@@ -401,8 +478,10 @@ def _rs_decode_batch(data: jax.Array, block_size: jax.Array, num_roots: int,
     j_orig = jp - shift[:, None]  # (B, lm) original byte positions
     is_err = (chien == 0) & (j_orig >= 0)
     error_count = jnp.sum(is_err, axis=1).astype(jnp.int32)
-    # positions in ascending order, padded with L (out of range)
-    loc_sorted = jnp.sort(jnp.where(is_err, j_orig, L), axis=1)[:, :t2]  # (B, t2)
+    # positions in ascending order, padded with L (out of range): only the
+    # t2 smallest of the lm candidates matter, so top_k on the negation
+    # replaces a full (B, lm) sort (the sort dominated the correction path)
+    loc_sorted = -jax.lax.top_k(-jnp.where(is_err, j_orig, L), t2)[0]  # (B, t2)
 
     apply_fix = error_count <= (t2 - min_distance)
 
@@ -449,7 +528,8 @@ def _rs_decode_batch(data: jax.Array, block_size: jax.Array, num_roots: int,
     )
     corrected = data ^ corr
 
-    recheck = syndromes(corrected)
+    recheck = _rs_syndromes_jax(corrected, block_size, num_roots, first_root,
+                                gf, m_synd, gmul, gpow)
     ok = jnp.all(recheck == 0, axis=1)
     result = jnp.where(ok, error_count, -1)
     return corrected, result

@@ -981,6 +981,44 @@ def bank_device_step_window(kind: str, slicer_kind: str, params,
     )
 
 
+@partial(jax.jit, static_argnames=("kind", "slicer_kind", "n_blocks",
+                                   "stride", "ext", "capacity", "polys",
+                                   "inverts", "slicer_static_mask",
+                                   "slicer_static_bps", "sync_tolerance",
+                                   "method", "unroll", "compact_window",
+                                   "pallas", "slicer_demap", "dtype"))
+def bank_device_step_stream(kind: str, slicer_kind: str, params,
+                            tail: jax.Array, fresh: jax.Array,
+                            n_blocks: int, stride: int, ext: int,
+                            capacity: int, polys: tuple, inverts: tuple,
+                            slicer_static_mask: int, slicer_static_bps: int,
+                            sync_tolerance: int = 0, method: str = "auto",
+                            unroll: int = 8, compact_window: int = 1,
+                            pallas: bool | None = None,
+                            slicer_demap: tuple = (), dtype=jnp.float32):
+    """Streaming step with a DEVICE-RESIDENT audio tail.
+
+    The step window composes ON DEVICE as concat(tail, fresh): ``tail``
+    (ext samples) is the previous step's retained overlap+trim halo --
+    returned by the previous call and never shipped to the host -- and
+    ``fresh`` holds only the ``n_blocks * stride`` NEW input samples, so
+    steady-state host->device traffic is exactly the new samples at the
+    wire dtype.  (The predecessor path uploaded the whole window,
+    re-sending the halo every step over a ~40 MB/s tunnel.)  Returns the
+    bank outputs plus the NEXT step's tail (the window's last ext
+    samples, still on device)."""
+    if pallas is None:
+        pallas = _pallas_loop_wanted(dtype)
+    window = jnp.concatenate([tail, fresh])
+    frames = overlapped_frames(window, n_blocks, stride, ext).astype(dtype)
+    out = _bank_frames_compute(
+        kind, slicer_kind, params, frames, capacity, polys, inverts,
+        slicer_static_mask, slicer_static_bps, sync_tolerance, method,
+        unroll, compact_window, pallas=pallas, slicer_demap=slicer_demap,
+    )
+    return out + (window[n_blocks * stride:],)
+
+
 @partial(jax.jit, static_argnames=("kind", "slicer_kind", "plan", "group",
                                    "capacity", "polys", "inverts",
                                    "slicer_static_mask", "slicer_static_bps",
@@ -1038,14 +1076,14 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
                                    "collect_crc", "disable_rs", "min_distance",
                                    "min_packet_length", "max_packet_length",
                                    "total_candidates", "total_rs_blocks",
-                                   "scan_cap"))
+                                   "scan_cap", "rs_fail_frac"))
 def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
                     max_packets: int = 8, collect_crc: bool = True,
                     disable_rs: bool = False, min_distance: int = 0,
                     min_packet_length: int = 18, max_packet_length: int = 1023,
                     total_candidates: int | None = None,
                     total_rs_blocks: int | None = None,
-                    scan_cap: int = 64):
+                    scan_cap: int = 64, rs_fail_frac: int | None = 2):
     """On-device codec stage over bank_device_step outputs: (C, B, cap) byte
     streams -> fixed-capacity packet buffers (C, B, max_packets, ...).
 
@@ -1067,6 +1105,7 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
             total_candidates=total_candidates,
             total_rs_blocks=total_rs_blocks,
             scan_cap=scan_cap,
+            rs_fail_frac=rs_fail_frac,
         )
     elif codec_kind == "ax25":
         out = ax25_decode_blocks(
@@ -1579,7 +1618,8 @@ MP_CAP = 64
 
 
 def _dispatch_codec(codec_key, data, addr, count, sync, plan,
-                    max_packets_per_block, total_candidates, scan_cap):
+                    max_packets_per_block, total_candidates, scan_cap,
+                    rs_fail_frac: int | None = 2):
     if codec_key[0] == "il2p":
         return bank_codec_step(
             "il2p", data, addr, count, sync, plan,
@@ -1594,6 +1634,7 @@ def _dispatch_codec(codec_key, data, addr, count, sync, plan,
             # back per block to the host FSM via ``dropped``.
             total_rs_blocks=total_candidates,
             scan_cap=scan_cap,
+            rs_fail_frac=rs_fail_frac,
         )
     return bank_codec_step(
         "ax25", data, addr, count, sync, plan,
@@ -1690,11 +1731,11 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         else None
     )
 
-    def run_exact(mp, cand_budget, scan_cap):
+    def run_exact(mp, cand_budget, scan_cap, rs_frac):
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan, mp, cand_budget,
-                scan_cap,
+                scan_cap, rs_frac,
             )
         with profiling.timed("codec_sizes"):
             n_ok, _total_bytes, max_len = map(
@@ -1714,22 +1755,26 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                                               flat)
         return n_ok, meta_budget, len_budget, comp, dropped
 
-    def resolve(mp, cand_budget, scan_cap, n_ok, meta_budget, len_budget,
-                comp, dropped):
+    def resolve(mp, cand_budget, scan_cap, rs_frac, n_ok, meta_budget,
+                len_budget, comp, dropped):
         while dropped is not None and dropped.any() and mp < MP_CAP:
             with profiling.timed("device_codec_escalate"):
                 mp = mp * 2
                 scan_cap = min(scan_cap * 2, 128)
+                # dropped does not say WHICH budget saturated; disable the
+                # RS syndrome-split alongside the doublings so a corrupt
+                # chunk overflowing its correction budget also converges
+                rs_frac = None
                 if total_candidates is None and cand_budget is not None:
                     cand_budget = cand_budget * 2
                 n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-                    mp, cand_budget, scan_cap
+                    mp, cand_budget, scan_cap, rs_frac
                 )
         if total_candidates is None and not (
             dropped is not None and dropped.any()
         ):
             _CODEC_BUDGET_CACHE[cache_key] = (
-                mp, cand_budget, scan_cap, meta_budget, len_budget
+                mp, cand_budget, scan_cap, meta_budget, len_budget, rs_frac
             )
         else:
             _CODEC_BUDGET_CACHE.pop(cache_key, None)
@@ -1742,11 +1787,13 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         # speculative steady-state path: ZERO readbacks before the packed
         # result -- demod, codec, and compaction queue back-to-back on the
         # device and the single transfer at the end synchronizes everything
-        mp0, cand_budget, scan_cap, meta_budget0, len_budget0 = cached
+        mp0, cand_budget, scan_cap, meta_budget0, len_budget0, rs_frac0 = (
+            cached
+        )
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan, mp0, cand_budget,
-                scan_cap,
+                scan_cap, rs_frac0,
             )
         with profiling.timed("device_codec_compact"):
             packed = compact_codec_out(
@@ -1778,8 +1825,8 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                     _, comp, dropped = _read_compact(
                         out, meta_budget, len_budget, np.asarray(repacked)
                     )
-            return resolve(mp0, cand_budget, scan_cap, n_ok, meta_budget,
-                           len_budget, comp, dropped)
+            return resolve(mp0, cand_budget, scan_cap, rs_frac0, n_ok,
+                           meta_budget, len_budget, comp, dropped)
 
         return collect
 
@@ -1800,9 +1847,9 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                 data.shape[0] * data.shape[1], 1041,
             )
         n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-            mp, cand_budget, scan_cap
+            mp, cand_budget, scan_cap, 2
         )
-        return resolve(mp, cand_budget, scan_cap, n_ok, meta_budget,
+        return resolve(mp, cand_budget, scan_cap, 2, n_ok, meta_budget,
                        len_budget, comp, dropped)
 
     return collect
