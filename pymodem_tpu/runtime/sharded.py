@@ -189,6 +189,7 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
 
 def _shard_codec(codec_key, plan: BlockPlan, max_packets: int,
                  total_candidates: int | None, scan_cap: int,
+                 rs_fail_frac: int | None,
                  d, a, c, s):
     """The per-shard codec body: (C_l, B_l, cap) byte streams -> fixed
     packet buffers.  Absolute stream addresses are computed in-shard from
@@ -211,6 +212,7 @@ def _shard_codec(codec_key, plan: BlockPlan, max_packets: int,
             # carries a >= 25% margin; overflow -> per-block host fallback
             total_rs_blocks=total_candidates,
             scan_cap=scan_cap,
+            rs_fail_frac=rs_fail_frac,
         )
     else:
         out = ax25_decode_blocks(
@@ -223,12 +225,13 @@ def _shard_codec(codec_key, plan: BlockPlan, max_packets: int,
 
 @lru_cache(maxsize=256)
 def _codec_step_fn(mesh: Mesh, codec_key, plan: BlockPlan, max_packets: int,
-                   total_candidates: int | None, scan_cap: int):
+                   total_candidates: int | None, scan_cap: int,
+                   rs_fail_frac: int | None = 2):
     from jax import shard_map
 
     fn = shard_map(
         partial(_shard_codec, codec_key, plan, max_packets,
-                total_candidates, scan_cap),
+                total_candidates, scan_cap, rs_fail_frac),
         mesh=mesh,
         in_specs=(P("chain", "time"),) * 4,
         out_specs=P("chain", "time"),
@@ -240,7 +243,7 @@ def _codec_step_fn(mesh: Mesh, codec_key, plan: BlockPlan, max_packets: int,
 def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
                        plan: BlockPlan, max_packets: int = 8,
                        total_candidates: int | None = None,
-                       scan_cap: int = 64):
+                       scan_cap: int = 64, rs_fail_frac: int | None = 2):
     """Device codec stage per shard: (C, B, cap) sharded byte streams ->
     fixed-capacity per-shard packet buffers, still sharded over
     ('chain', 'time').  This is the device-side packet gather of SURVEY.md
@@ -248,19 +251,20 @@ def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
     all_gather) collects fixed shapes instead of the reference's Queue
     (pymodem.py:158-163)."""
     fn = _codec_step_fn(mesh, codec_key, plan, max_packets,
-                        total_candidates, scan_cap)
+                        total_candidates, scan_cap, rs_fail_frac)
     return fn(data, addr, count, sync)
 
 
 @lru_cache(maxsize=256)
 def _codec_compact_fn(mesh: Mesh, codec_key, plan: BlockPlan,
                       max_packets: int, total_candidates: int | None,
-                      scan_cap: int, meta_budget: int, len_budget: int):
+                      scan_cap: int, meta_budget: int, len_budget: int,
+                      rs_fail_frac: int | None = 2):
     from jax import shard_map
 
     def shard_fn(d, a, c, s):
         out = _shard_codec(codec_key, plan, max_packets, total_candidates,
-                           scan_cap, d, a, c, s)
+                           scan_cap, rs_fail_frac, d, a, c, s)
         packed = compact_codec_out(
             out["ok"], out["address"], out["length"], out.get("corrected"),
             out["packet"], meta_budget, len_budget, out.get("dropped"),
@@ -319,14 +323,15 @@ def sharded_compact_only(mesh: Mesh, out: dict, meta_budget: int,
 def sharded_codec_compact_step(mesh: Mesh, codec_key, data, addr, count,
                                sync, plan: BlockPlan, max_packets: int,
                                total_candidates: int | None, scan_cap: int,
-                               meta_budget: int, len_budget: int):
+                               meta_budget: int, len_budget: int,
+                               rs_fail_frac: int | None = 2):
     """Fused per-shard codec + compaction: every shard emits one packed
     uint8 buffer (bank.compact_codec_out layout) of identical static size,
     stacked as (n_chain, n_time, L) -- ONE gather collects every shard's
     packets.  The sharded analog of the single-device steady-state path."""
     fn = _codec_compact_fn(mesh, codec_key, plan, max_packets,
                            total_candidates, scan_cap, meta_budget,
-                           len_budget)
+                           len_budget, rs_fail_frac)
     return fn(data, addr, count, sync)
 
 
@@ -453,12 +458,12 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         else None
     )
 
-    def run_exact(mp, cand_budget, scan_cap):
+    def run_exact(mp, cand_budget, scan_cap, rs_frac):
         with profiling.timed("sharded_codec_sizing"):
             out = sharded_codec_step(
                 mesh, codec_key, data, addr, count, sync, plan,
                 max_packets=mp, total_candidates=cand_budget,
-                scan_cap=scan_cap,
+                scan_cap=scan_cap, rs_fail_frac=rs_frac,
             )
             shard_ok_max, max_len = (
                 int(v) for v in np.asarray(
@@ -480,18 +485,19 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         )
         return n_ok, meta_budget, len_budget, comp, dropped
 
-    def resolve(mp, cand_budget, scan_cap, n_ok, meta_budget, len_budget,
-                comp, dropped):
+    def resolve(mp, cand_budget, scan_cap, rs_frac, n_ok, meta_budget,
+                len_budget, comp, dropped):
         # per-block budget saturation escalates ON DEVICE, like
         # bank._device_codec_submit; host FSM only past MP_CAP
         while dropped.any() and mp < bank_mod.MP_CAP:
             with profiling.timed("sharded_codec_escalate"):
                 mp = mp * 2
                 scan_cap = min(scan_cap * 2, 128)
+                rs_frac = None  # see bank._device_codec_submit.resolve
                 if total_candidates is None and cand_budget is not None:
                     cand_budget = cand_budget * 2
                 n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-                    mp, cand_budget, scan_cap
+                    mp, cand_budget, scan_cap, rs_frac
                 )
         if dropped.any():
             _SHARDED_BUDGET_CACHE.pop(cache_key, None)
@@ -501,7 +507,8 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         else:
             if total_candidates is None:
                 _SHARDED_BUDGET_CACHE[cache_key] = (
-                    mp, cand_budget, scan_cap, meta_budget, len_budget
+                    mp, cand_budget, scan_cap, meta_budget, len_budget,
+                    rs_frac,
                 )
             arrays = (data, addr, count, sync)
         return packets_from_compact(
@@ -512,11 +519,14 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         # speculative steady-state path: ZERO readbacks before the packed
         # gather -- demod, codec and compaction queue back-to-back on the
         # devices; the single gather at the end synchronizes everything
-        mp0, cand_budget, scan_cap, meta_budget0, len_budget0 = cached
+        mp0, cand_budget, scan_cap, meta_budget0, len_budget0, rs_frac0 = (
+            cached
+        )
         with profiling.timed("sharded_codec_step"):
             packed = sharded_codec_compact_step(
                 mesh, codec_key, data, addr, count, sync, plan,
                 mp0, cand_budget, scan_cap, meta_budget0, len_budget0,
+                rs_frac0,
             )
 
         def collect_cached():
@@ -537,10 +547,10 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
                 with profiling.timed("sharded_codec_redo"):
                     _SHARDED_BUDGET_CACHE.pop(cache_key, None)
                     n_ok, meta_budget, len_budget, comp, dropped = (
-                        run_exact(mp0, cand_budget, scan_cap)
+                        run_exact(mp0, cand_budget, scan_cap, rs_frac0)
                     )
-            return resolve(mp0, cand_budget, scan_cap, n_ok, meta_budget,
-                           len_budget, comp, dropped)
+            return resolve(mp0, cand_budget, scan_cap, rs_frac0, n_ok,
+                           meta_budget, len_budget, comp, dropped)
 
         return collect_cached
 
@@ -563,12 +573,73 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
                 max_pb, max_packets, c_local * b_local, Lmax,
             )
         n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-            mp, cand_budget, scan_cap
+            mp, cand_budget, scan_cap, 2
         )
-        return resolve(mp, cand_budget, scan_cap, n_ok,
+        return resolve(mp, cand_budget, scan_cap, 2, n_ok,
                        meta_budget, len_budget, comp, dropped)
 
     return collect
+
+
+_PAD_PREFIX = "__pad"
+
+
+def _reorder_pad_bank(bank, n_chain: int, subgroups):
+    """Reorder a bank's chains so codec sub-groups are contiguous, padding
+    each sub-group to a multiple of the mesh chain axis with duplicate
+    chains (clones of the sub-group's first chain under reserved
+    ``__pad...`` names whose results are discarded).
+
+    This is how the sharded runtime gets BOTH round-4 single-device
+    features without new kernel code: a mixed-codec bank becomes a list
+    of contiguous, shard-aligned chain slices -- one _sharded_codec_submit
+    per slice -- and a bank whose chain count doesn't divide the mesh
+    chain axis gains masked dead lanes instead of raising.  Padded chains
+    demod garbage that is never read (their packets are dropped by name),
+    matching the reference's free codec mixing across its process pool
+    (chain_builder.py:64-68, pymodem.py:140-166).
+
+    ``subgroups``: bank._codec_subgroups output, or None (host-codec path:
+    one group of all chains).  Returns (new_bank, [(codec_key, lo, hi)]).
+    """
+    from dataclasses import replace as _replace
+
+    if subgroups is None:
+        subgroups = [(None, list(range(len(bank.specs))))]
+    perm: list[int] = []
+    specs: list = []
+    polys: list = []
+    inverts: list = []
+    slices: list[tuple] = []
+    n_pad = 0
+    for key, idxs in subgroups:
+        lo = len(perm)
+        pad = -len(idxs) % n_chain
+        for i in idxs:
+            perm.append(i)
+            specs.append(bank.specs[i])
+            polys.append(bank.stream_polys[i])
+            inverts.append(bank.stream_inverts[i])
+        for _ in range(pad):
+            i0 = idxs[0]
+            s0 = bank.specs[i0]
+            perm.append(i0)
+            specs.append(_replace(s0, name=f"{_PAD_PREFIX}{n_pad}~{s0.name}"))
+            polys.append(bank.stream_polys[i0])
+            inverts.append(bank.stream_inverts[i0])
+            n_pad += 1
+        slices.append((key, lo, len(perm)))
+    if perm == list(range(len(bank.specs))):
+        return bank, slices  # already contiguous and aligned
+    perm_a = np.asarray(perm)
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x)[perm_a], bank.params
+    )
+    new_bank = _replace(
+        bank, specs=specs, params=params,
+        stream_polys=tuple(polys), stream_inverts=tuple(inverts),
+    )
+    return new_bank, slices
 
 
 def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
@@ -581,23 +652,26 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
                        max_packet_seconds: float | None = None):
     """Sharded analog of bank.run_banked over an existing mesh.
 
-    Bank chain counts must divide the mesh 'chain' axis size evenly (pad
-    your sweep banks); the block count is rounded up to a multiple of the
-    'time' axis.  Audio is framed host-side and sharded over ``time`` --
-    per-device input memory is ~n_audio/n_time plus the per-block halo,
-    and per-shard working HBM is bounded by the in-shard block-group map
-    (``max_blocks_per_step``; 'auto' sizes groups like the single-device
-    runtime).
+    Any chain count works: banks whose chain count doesn't divide the
+    mesh 'chain' axis are padded with dead duplicate lanes whose results
+    are discarded (_reorder_pad_bank), and the block count is rounded up
+    to a multiple of the 'time' axis.  Audio is framed host-side and
+    sharded over ``time`` -- per-device input memory is ~n_audio/n_time
+    plus the per-block halo, and per-shard working HBM is bounded by the
+    in-shard block-group map (``max_blocks_per_step``; 'auto' sizes
+    groups like the single-device runtime).
 
     codec: 'host' runs the reference-exact FSMs on device-computed sync
     candidates; 'device' (default) runs the batched on-device codecs per
     shard into fixed-capacity packet buffers, compacted in-shard and
-    gathered as ONE packed buffer per bank (see _sharded_codec_submit)
-    when every chain in a bank shares codec options.
+    gathered as ONE packed buffer per bank slice (_sharded_codec_submit).
+    Banks mixing codec OPTIONS (the reference's free codec mixing,
+    chain_builder.py:64-68) reorder into contiguous per-codec sub-group
+    slices and dispatch one device codec per slice -- no chain drops to
+    the host FSM for having a different-protocol neighbour.
     """
     from ..config import IL2PCodecSpec
     from .bank import (
-        _bank_uniform_codec,
         _dedup_block_boundary,
         auto_blocks_per_step,
         host_decode_block,
@@ -609,21 +683,22 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
     n_chain = mesh.shape["chain"]
     n_time = mesh.shape["time"]
     results: dict[str, list] = {}
-    for bank in bank_mod.group_chains(list(chains), dtype):
-        if len(bank.specs) % n_chain != 0:
-            raise ValueError(
-                f"bank of {len(bank.specs)} chains does not divide mesh "
-                f"chain axis {n_chain}"
-            )
-        sample_rate = bank.specs[0].modem.sample_rate
+    for bank0 in bank_mod.group_chains(list(chains), dtype):
+        sample_rate = bank0.specs[0].modem.sample_rate
         # the SAME plan as the single-device runtime (plan_bank_run aligns
         # auto geometry to the recording) -- block boundaries must match it
-        # exactly so packets are identical; only the per-shard group is
-        # re-chosen below for the per-device HBM budget
+        # exactly so packets are identical; the plan comes from the
+        # UNPADDED bank for the same reason (padding must not change
+        # geometry), and only the per-shard group is re-chosen below for
+        # the per-device HBM budget
         plan, _ = bank_mod.plan_bank_run(
-            bank, len(audio), sample_rate, dtype, block_seconds,
+            bank0, len(audio), sample_rate, dtype, block_seconds,
             overlap_seconds, max_packet_seconds, "auto",
         )
+        groups0 = (
+            bank_mod._codec_subgroups(bank0) if codec == "device" else None
+        )
+        bank, slices = _reorder_pad_bank(bank0, n_chain, groups0)
         st = _slicer_static(bank)
         cap = bank_capacity(bank, plan)
         sync_tol = max(
@@ -666,16 +741,34 @@ def run_banked_sharded(chains, audio: np.ndarray, mesh: Mesh, dtype=None,
             st["state_mask"], st["bits_per_symbol"], sync_tol, method, unroll,
             st["compact_window"], group=group, slicer_demap=st["demap"],
         )
-        codec_key = _bank_uniform_codec(bank) if codec == "device" else None
-        if codec_key is not None:
-            collect = _sharded_codec_submit(
-                mesh, bank, plan, codec_key, data, addr, count, sync,
-                max_packets_per_block, total_candidates,
-            )
-            results.update(collect())
+        if groups0 is not None:
+            # one _sharded_codec_submit per contiguous, shard-aligned codec
+            # sub-group slice (see _reorder_pad_bank) -- every sub-group
+            # dispatches before any gather, exactly like the single-device
+            # _device_codec_submit_mixed
+            C = len(bank.specs)
+            collects = []
+            for key, lo, hi in slices:
+                sub = bank_mod._bank_chain_subset(bank, list(range(lo, hi)))
+                args = (
+                    (data, addr, count, sync)
+                    if (lo, hi) == (0, C)
+                    else tuple(x[lo:hi] for x in (data, addr, count, sync))
+                )
+                collects.append(_sharded_codec_submit(
+                    mesh, sub, plan, key, *args,
+                    max_packets_per_block, total_candidates,
+                ))
+            for collect in collects:
+                results.update({
+                    name: pkts for name, pkts in collect().items()
+                    if not name.startswith(_PAD_PREFIX)
+                })
             continue
         data, addr, count, sync = map(gather_to_host, (data, addr, count, sync))
         for ci, chain in enumerate(bank.specs):
+            if chain.name.startswith(_PAD_PREFIX):
+                continue
             packets = []
             for b in range(plan.n_blocks):
                 n = int(count[ci, b])

@@ -282,3 +282,80 @@ def test_oversample_sharded_matches_single(rng):
             assert da == db and abs(aa - ab) <= tol
         total += len(b)
     assert total >= 6
+
+
+def test_mixed_codec_and_padded_chain_count(rng):
+    """Round-5 sharded feature parity (_reorder_pad_bank): a bank mixing
+    ax25 + il2p codec options over a shared demod family, with a chain
+    count (3) that does NOT divide the mesh chain axis (2), decodes via
+    the per-sub-group device codec -- zero host_codec hits -- and matches
+    the single-device runtime packet for packet."""
+    from pymodem_tpu import profiling
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        AX25CodecSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+    )
+    from pymodem_tpu.runtime import sharded as sh
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    rate = 8000.0
+    segs = [
+        mod.afsk_modulate(
+            fx.il2p_line_bits(fx.payloads(rng, count=3, size=24),
+                              polynomial=0x3, invert=False, gap_bits=2000),
+            rate, 1200.0, 1200.0, 2200.0),
+        mod.afsk_modulate(
+            fx.il2p_line_bits(fx.payloads(rng, count=3, size=24),
+                              polynomial=0x3, invert=True, gap_bits=2000),
+            rate, 1200.0, 1200.0, 2200.0),
+        mod.afsk_modulate(
+            fx.ax25_line_bits(fx.payloads(rng, count=3, size=24),
+                              polynomial=0x3, invert=False, gap_bits=2000),
+            rate, 1200.0, 1200.0, 2200.0),
+    ]
+    audio = np.concatenate(segs).astype(np.float32)
+
+    def mk(name, codec, invert):
+        return ChainSpec(
+            name=name,
+            modem=AFSKModemSpec(sample_rate=rate),
+            slicer=BinarySlicerSpec(sample_rate=rate, symbol_rate=1200.0,
+                                    lock_rate=0.75),
+            stream=LFSRStreamSpec(polynomial=0x3, invert=invert),
+            codec=codec,
+        )
+
+    chains = [
+        mk("i0", IL2PCodecSpec(ident="i0"), False),
+        mk("i1", IL2PCodecSpec(ident="i1"), True),
+        mk("a0", AX25CodecSpec(ident="a0"), False),
+    ]
+    kw = dict(codec="device", block_seconds=1.0, overlap_seconds=0.6)
+    single = run_banked(chains, audio, dtype=np.float32, **kw)
+    mesh = make_mesh(2, 4)
+    sh._SHARDED_BUDGET_CACHE.clear()
+    first = run_banked_sharded(chains, audio, mesh, dtype=np.float32, **kw)
+    profiling.reset()
+    profiling.enable(True)
+    try:
+        again = run_banked_sharded(chains, audio, mesh, dtype=np.float32,
+                                   **kw)
+    finally:
+        profiling.enable(False)
+    counts = profiling.counts()
+    assert counts.get("host_codec", 0) == 0, counts
+    assert counts.get("sharded_codec_sizing", 0) == 0, counts  # cached
+    assert set(first) == {"i0", "i1", "a0"}  # no __pad leakage
+    total = 0
+    for name in first:
+        a = [(p.streamaddress, bytes(p.data)) for p in single[name]]
+        b = [(p.streamaddress, bytes(p.data)) for p in first[name]]
+        b2 = [(p.streamaddress, bytes(p.data)) for p in again[name]]
+        assert a == b == b2, name
+        total += len(b)
+    assert total >= 9
