@@ -48,6 +48,14 @@ class _BankState:
     static: dict
     sync_tol: int
     next_block: int = 0  # index of the next undecoded block
+    # device-resident audio tail (the overlap+trim halo between steps):
+    # bank_device_step_stream returns it and the next step consumes it,
+    # so only NEW samples cross the host->device link in steady state.
+    # ``tail_block`` is the step start the tail is positioned for; any
+    # mismatch (first step, retry after a failed collect, dtype switch)
+    # falls back to a full host-built window and re-seeds the tail.
+    tail: object = None
+    tail_block: int = -1
 
 
 class StreamDecoder:
@@ -165,24 +173,32 @@ class StreamDecoder:
         self._emitted_base: dict[str, int] = {c.name: 0 for c in chains}
         self._total = 0  # absolute samples received
 
+    def _audio_window(self, start_abs: int, length: int) -> np.ndarray:
+        """``length`` retained stream samples from absolute input index
+        ``start_abs``, zero-padded where the stream has none (before 0 or
+        past the current total)."""
+        buf = np.zeros(length, dtype=self._audio.dtype)
+        lo = max(start_abs, 0)
+        hi = min(start_abs + length, self._total)
+        if hi > lo:
+            rel = lo - self._consumed
+            buf[lo - start_abs : hi - start_abs] = (
+                self._audio[rel : rel + (hi - lo)]
+            )
+        return buf
+
     def _window_for(self, state: _BankState, first_block: int):
         """The contiguous audio window covering blocks_per_step blocks
         (plus overlap+trim halo) starting at ``first_block``, zero-padded
-        where the stream has no samples.  Framing happens ON DEVICE
-        (bank_device_step_window), so this window is also the whole
-        host->device transfer for the step."""
+        where the stream has no samples.  Framing happens ON DEVICE, so
+        this window is the whole host->device transfer for a cold step;
+        warm steps upload only its fresh suffix (see _submit_blocks)."""
         lin = state.plan.block_input_len
         # absolute INPUT start (stride_in == self.block_len input samples
         # per block; front_pad covers the demod-unit overlap + resample halo)
         a0 = first_block * self.block_len - state.plan.front_pad
         span = (self.blocks_per_step - 1) * self.block_len + lin
-        buf = np.zeros(span, dtype=self._audio.dtype)
-        lo = max(a0, 0)
-        hi = min(a0 + span, self._total)
-        if hi > lo:
-            rel = lo - self._consumed
-            buf[lo - a0 : hi - a0] = self._audio[rel : rel + (hi - lo)]
-        return buf
+        return self._audio_window(a0, span)
 
     def _submit_blocks(self, state: _BankState, first_block: int,
                        n_blocks: int, final: bool):
@@ -191,15 +207,37 @@ class StreamDecoder:
         Submit/collect are split so the caller can dispatch EVERY due step
         (across banks and step groups) before reading anything back --
         each step's packed readback then hides behind the next step's
-        device compute (the streaming analog of run_banked_many)."""
-        from .bank import _pallas_loop_wanted, bank_device_step_window
+        device compute (the streaming analog of run_banked_many).
 
-        window = self._window_for(state, first_block)
+        Steady state uploads ONLY the step's new samples: the previous
+        step's overlap+trim halo stays on device (_BankState.tail,
+        bank_device_step_stream) and the window composes there.  A cold
+        step -- stream start, retry after an abandoned pipeline, a wire
+        dtype switch -- rebuilds the full window host-side and re-seeds
+        the tail from it; the device program is the SAME either way (the
+        host just chooses what the (tail, fresh) pair is)."""
+        from .bank import _pallas_loop_wanted, bank_device_step_stream
+
         lin = state.plan.block_input_len
-        data, addr, count, sync = bank_device_step_window(
+        ext = lin - self.block_len
+        warm = (
+            state.tail is not None
+            and state.tail_block == first_block
+            and str(state.tail.dtype) == str(self._audio.dtype)
+        )
+        if warm:
+            tail = state.tail
+            a0 = first_block * self.block_len - state.plan.front_pad
+            fresh = self._audio_window(
+                a0 + ext, self.blocks_per_step * self.block_len
+            )
+        else:
+            window = self._window_for(state, first_block)
+            tail, fresh = window[:ext], window[ext:]
+        data, addr, count, sync, new_tail = bank_device_step_stream(
             state.bank.kind, state.bank.slicer_kind, state.bank.params,
-            jnp.asarray(window), self.blocks_per_step,
-            self.block_len, lin - self.block_len, state.capacity,
+            jnp.asarray(tail), jnp.asarray(fresh), self.blocks_per_step,
+            self.block_len, ext, state.capacity,
             state.bank.stream_polys, state.bank.stream_inverts,
             state.static["state_mask"], state.static["bits_per_symbol"],
             state.sync_tol, self.method, self.unroll,
@@ -207,6 +245,8 @@ class StreamDecoder:
             pallas=_pallas_loop_wanted(self.dtype),
             slicer_demap=state.static["demap"], dtype=self.dtype,
         )
+        state.tail = new_tail
+        state.tail_block = first_block + self.blocks_per_step
         groups = (
             bank_mod._codec_subgroups(state.bank)
             if self.codec == "device"
