@@ -130,7 +130,7 @@ def _descramble_fixed(data, n_valid):
 @partial(jax.jit, static_argnames=("max_packets", "collect_crc", "disable_rs",
                                    "min_distance", "total_candidates",
                                    "total_rs_blocks", "scan_cap",
-                                   "rs_fail_frac"))
+                                   "rs_fail_frac", "max_payload"))
 def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
                        counts: jax.Array, addresses: jax.Array,
                        max_packets: int = 8, collect_crc: bool = True,
@@ -138,7 +138,8 @@ def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
                        total_candidates: int | None = None,
                        total_rs_blocks: int | None = None,
                        scan_cap: int = 64,
-                       rs_fail_frac: int | None = 2):
+                       rs_fail_frac: int | None = 2,
+                       max_payload: int = MAX_PAYLOAD):
     """Decode IL2P packets from byte-stream blocks, fully on device.
 
     data: (..., K) uint8 descrambled stream bytes; sync_packed: (..., K)
@@ -165,13 +166,24 @@ def il2p_decode_blocks(data: jax.Array, sync_packed: jax.Array,
     the budget marks the affected stream blocks ``dropped`` (exact host
     fallback), and the dispatcher retries with the split disabled
     (None), so results never depend on the guess.
+
+    ``max_payload``: per-candidate payload-byte budget.  EVERY
+    per-candidate buffer (span window, payload assembly, packet bytes,
+    CRC mask) is budget-shaped, and the protocol maximum of 1023 bytes
+    is ~10x the longest packet the block plan even protects on typical
+    workloads -- the dispatcher passes the plan-derived wire bound
+    (bank._il2p_payload_budget), cutting the codec's dominant
+    byte-traffic term by the same factor.  A decoded header announcing a
+    LONGER payload marks its stream block ``dropped`` (exact host
+    fallback; the dispatcher escalates to the full 1023), so packets
+    never depend on the budget.
     """
     batch_shape = data.shape[:-1]
     flat = lambda a: a.reshape((-1,) + a.shape[len(batch_shape):])
     out = _il2p_decode_flat(
         flat(data), flat(sync_packed), counts.reshape(-1), flat(addresses),
         max_packets, collect_crc, disable_rs, min_distance, total_candidates,
-        total_rs_blocks, scan_cap, rs_fail_frac,
+        total_rs_blocks, scan_cap, rs_fail_frac, max_payload,
     )
     return {k: v.reshape(batch_shape + v.shape[1:]) for k, v in out.items()}
 
@@ -197,7 +209,8 @@ def _rs_fail_budget(rows: int, frac: int | None) -> int | None:
 def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
                       collect_crc, disable_rs, min_distance,
                       total_candidates=None, total_rs_blocks=None,
-                      scan_cap=64, rs_fail_frac=2):
+                      scan_cap=64, rs_fail_frac=2,
+                      max_payload=MAX_PAYLOAD):
     """Globally candidate-compacted decode.
 
     Candidates are compacted ACROSS the whole (flattened) block batch before
@@ -254,9 +267,15 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     r32 = rows.astype(jnp.int32)
     nxt = jnp.concatenate([r32[:, 1:], jnp.zeros((T, 1), jnp.int32)], axis=1)
     rows_sh = (((r32 << shv) | (nxt >> (8 - shv))) & 0xFF).astype(jnp.uint8)
+    # payload-byte budget shapes every per-candidate buffer (see
+    # il2p_decode_blocks docstring); headers announcing more mark their
+    # block dropped below
+    mp = int(min(max(max_payload, 64), MAX_PAYLOAD))
+    mb = -(-mp // 239)
+    pkt_len = MAX_AX25_HEADER + mp + 2
     # span covers header + max coded payload + CRC trailer, plus slack so
     # the fixed 255-wide block reads below never clamp
-    span_w = 15 + MAX_PAYLOAD + 16 * MAX_BLOCKS + 255
+    span_w = 15 + mp + 16 * mb + 255
     byte0 = (start_bit // 8).astype(jnp.int32)
     spans = take_rows_shifted(rows_sh, byte0, span_w)
     # (T, span_w) uint8, candidate-aligned
@@ -286,12 +305,16 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     parsed = jax.vmap(_parse_header)(hdr)
     hdr_fail = hdr_res < 0
     count = jnp.clip(parsed[0], 0, MAX_PAYLOAD)
+    # a decoded header announcing a payload past the budget cannot decode
+    # in these shapes: zero its layout and mark the block dropped (exact
+    # host fallback; the dispatcher escalates the budget)
+    too_long = cand_valid & (~hdr_fail) & (count > mp)
     # Payload work is skipped entirely for failed headers and dead slots:
     # their byte counts are garbage (the FSM consumes only the 121 header
-    # bits there), so zeroing the block layout removes up to MAX_BLOCKS
-    # phantom RS rows per bad candidate -- and the spurious RS-budget
-    # pressure (false ``dropped`` fallbacks) they caused.
-    count_live = jnp.where(hdr_fail | ~cand_valid, 0, count)
+    # bits there), so zeroing the block layout removes up to mb phantom
+    # RS rows per bad candidate -- and the spurious RS-budget pressure
+    # (false ``dropped`` fallbacks) they caused.
+    count_live = jnp.where(hdr_fail | ~cand_valid | too_long, 0, count)
     ax25, ax25_len = jax.vmap(_ax25_header)(*parsed)
 
     # block layout (il2p.py:346-358)
@@ -300,7 +323,7 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
         block_count > 0, count_live // jnp.maximum(block_count, 1), 0
     )
     big_blocks = count_live - block_count * base_size
-    k_idx = jnp.arange(MAX_BLOCKS)[None, :]
+    k_idx = jnp.arange(mb)[None, :]
     sizes = jnp.where(
         k_idx < big_blocks[:, None], base_size[:, None] + 1,
         jnp.where(k_idx < block_count[:, None], base_size[:, None], 0),
@@ -315,17 +338,17 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     # decoding all T*MAX_BLOCKS slots wastes ~5x RS work.  Budget
     # overflow marks the candidate (host fallback via ``dropped``).
     Rb = total_rs_blocks if total_rs_blocks else 2 * T
-    Rb = min(max(Rb, 8), T * MAX_BLOCKS)
-    flat_sizes = coded_sizes.reshape(-1)  # (T*MB,)
+    Rb = min(max(Rb, 8), T * mb)
+    flat_sizes = coded_sizes.reshape(-1)  # (T*mb,)
     live = flat_sizes > 0
     lcsum = jnp.cumsum(live.astype(jnp.int32))
     n_live = lcsum[-1]
     rs_slots = jnp.arange(1, Rb + 1)
     rs_src = jnp.clip(
-        jnp.searchsorted(lcsum, rs_slots), 0, T * MAX_BLOCKS - 1
+        jnp.searchsorted(lcsum, rs_slots), 0, T * mb - 1
     )
     rs_valid = rs_slots <= n_live
-    rs_cand = (rs_src // MAX_BLOCKS).astype(jnp.int32)
+    rs_cand = (rs_src // mb).astype(jnp.int32)
     rs_off = jnp.take(block_byte_off.reshape(-1), rs_src)
     spans_rs = jnp.take(spans, rs_cand, axis=0)  # (Rb, span_w) row gather
     rows_rs = take_rows_shifted(spans_rs, rs_off, 255).astype(jnp.int32)
@@ -350,14 +373,15 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     safe_dest = jnp.clip(dest, 0, Rb - 1)
     blk_res = jnp.where(
         in_budget, jnp.take(br_c, safe_dest), 0
-    ).reshape(T, MAX_BLOCKS)
+    ).reshape(T, mb)
     blk_ovf = jnp.where(
         in_budget, jnp.take(pay_ovf, safe_dest), False
-    ).reshape(T, MAX_BLOCKS)
+    ).reshape(T, mb)
     rs_overflow = (
-        jnp.any((live & ~in_budget).reshape(T, MAX_BLOCKS), axis=1)
+        jnp.any((live & ~in_budget).reshape(T, mb), axis=1)
         | jnp.any(blk_ovf, axis=1)
         | hdr_ovf
+        | too_long
     )
 
     # Descramble the corrected data bytes on the compact rows, route them
@@ -375,12 +399,13 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     ).astype(jnp.uint8)
     pdata = jnp.where(
         in_budget[:, None], jnp.take(upd, safe_dest, axis=0), 0
-    ).reshape(T, MAX_BLOCKS, 255)
+    ).reshape(T, mb, 255)
     starts = jnp.cumsum(sizes, axis=1) - sizes
-    payload = jnp.zeros((T, MAX_PAYLOAD), jnp.uint8)
-    for k in range(MAX_BLOCKS):
+    payload = jnp.zeros((T, mp), jnp.uint8)
+    pw = min(255, mp)  # block data bytes never exceed min(239, mp)
+    for k in range(mb):
         payload = payload + place_rows_shifted(
-            pdata[:, k, :], starts[:, k], MAX_PAYLOAD
+            pdata[:, k, :pw], starts[:, k], mp
         )
 
     # trailing CRC (il2p.py:503-518): 4 bytes right after the coded payload
@@ -395,11 +420,11 @@ def _il2p_decode_flat(data, sync_packed, counts, addresses, max_packets,
     # (masked to ``count`` bytes) is placed at its header offset with
     # static binary rolls; the header merges elementwise (it lives at
     # offset 0, a static pad)
-    slot = jnp.arange(MAX_PACKET_LEN)[None, :]
-    pay_idx = jnp.arange(MAX_PAYLOAD)[None, :]
+    slot = jnp.arange(pkt_len)[None, :]
+    pay_idx = jnp.arange(mp)[None, :]
     pay_masked = jnp.where(pay_idx < count[:, None], payload, 0)
-    placed = place_rows_shifted(pay_masked, ax25_len, MAX_PACKET_LEN)
-    hdr_pad = jnp.pad(ax25, ((0, 0), (0, MAX_PACKET_LEN - MAX_AX25_HEADER)))
+    placed = place_rows_shifted(pay_masked, ax25_len, pkt_len)
+    hdr_pad = jnp.pad(ax25, ((0, 0), (0, pkt_len - MAX_AX25_HEADER)))
     pkt = jnp.where(slot < ax25_len[:, None], hdr_pad,
                     placed.astype(jnp.int32))
     data_len = ax25_len + count

@@ -314,8 +314,16 @@ def _bitlinear_mats(num_roots: int, first_root: int, gf: GFTables):
     binary matrix products -- MXU matmuls followed by mod 2 -- instead of
     per-element log/antilog gathers.
 
-    M_synd[(j', a), (i, b)] = bit b of (2^a) * alpha^((254-j')*(fr+i))
-    M_chien[(i-1)*8+b, (j', c)] = bit c of (2^b) * alpha^((j'+1)*i)
+    Row/column index order is BIT-MAJOR -- input row (a, j') = a*lm + j',
+    output column (c, j') = c*lm + j' -- so the device-side bit expansion
+    is 8 cheap (B, lm) shift/mask slices concatenated on the last axis.
+    (The byte-major (B, lm, 8) form had a minor dimension of 8, which the
+    TPU pads to 128 lanes: a 16x memory bloat that made the bit expansion
+    ~15x more expensive than the MXU matmul it fed -- 29 of the 31 ms of
+    a 16k-row decode, measured 2026-08-20.)
+
+    M_synd[(a, j'), (i, b)] = bit b of (2^a) * alpha^((254-j')*(fr+i))
+    M_chien[(i-1)*8+b, (c, j')] = bit c of (2^b) * alpha^((j'+1)*i)
     (the reference's Chien exponent is (j + 256 - bs)*i, rs_functions.py:87).
     """
     key = (num_roots, first_root, gf.order)
@@ -331,14 +339,20 @@ def _bitlinear_mats(num_roots: int, first_root: int, gf: GFTables):
     const_s = gf.antilog[exp_s]  # (lm, R)
     prod_s = np_gf_mul(gf, (1 << a)[None, :, None], const_s[:, None, :])  # (lm, 8, R)
     bits_s = (prod_s[..., None] >> a[None, None, None, :]) & 1  # (lm, 8, R, 8)
-    m_synd = bits_s.reshape(lm * 8, num_roots * 8).astype(np.float32)
+    # bit-major rows: (a, j') -> a*lm + j'
+    m_synd = bits_s.transpose(1, 0, 2, 3).reshape(
+        lm * 8, num_roots * 8
+    ).astype(np.float32)
     # chien
     i_c = np.arange(1, t2 + 1)
     exp_c = (((jp + 1)[None, :]) * i_c[:, None]) % lm  # (t2, lm)
     const_c = gf.antilog[exp_c]
     prod_c = np_gf_mul(gf, (1 << a)[None, :, None], const_c[:, None, :])  # (t2, 8, lm)
     bits_c = (prod_c[..., None] >> a[None, None, None, :]) & 1  # (t2, 8, lm, 8)
-    m_chien = bits_c.transpose(0, 1, 2, 3).reshape(t2 * 8, lm * 8).astype(np.float32)
+    # bit-major columns: (c, j') -> c*lm + j'
+    m_chien = bits_c.transpose(0, 1, 3, 2).reshape(
+        t2 * 8, lm * 8
+    ).astype(np.float32)
     _BITMAT_CACHE[key] = (m_synd, m_chien)
     return _BITMAT_CACHE[key]
 
@@ -365,12 +379,16 @@ def _rs_syndromes_jax(data, block_size, num_roots, first_root, gf,
     ~2.5 us/row, dominating the whole decode)."""
     B, L = data.shape
     lm = gf.order - 1
-    bit_w = jnp.arange(8, dtype=jnp.int32)
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
     d_m = jnp.where(col < block_size[:, None], data, 0)
     d_f = d_m if L >= lm else jnp.pad(d_m, ((0, 0), (0, lm - L)))
-    bits = ((d_f[..., :lm, None] >> bit_w) & 1).reshape(B, lm * 8)
-    sb = _gf2_matmul(bits, m_synd).reshape(B, num_roots, 8)
+    d_f = d_f[..., :lm]
+    # bit-major expansion (matches m_synd's row order): 8 well-laid (B, lm)
+    # slices instead of a (B, lm, 8) tensor whose minor dim of 8 pads to
+    # 128 TPU lanes (see _bitlinear_mats)
+    bits = jnp.concatenate([(d_f >> k) & 1 for k in range(8)], axis=-1)
+    sb = _gf2_matmul(bits, m_synd).reshape(B, num_roots, 8)  # tiny
+    bit_w = jnp.arange(8, dtype=jnp.int32)
     t_i = jnp.sum(sb << bit_w, axis=2).astype(jnp.int32)  # (B, R)
     r_i = (first_root + jnp.arange(num_roots, dtype=jnp.int32))[None, :]
     shift = lm - block_size
@@ -470,10 +488,15 @@ def _rs_correct_batch(data, block_size, synd, num_roots, first_root,
             [jnp.zeros((B, 1), jnp.int32), corrector[:, :-1]], axis=1
         )
 
-    # Chien search as a GF(2) matmul over the right-aligned frame.
+    # Chien search as a GF(2) matmul over the right-aligned frame; the
+    # output unpacks bit-major (m_chien's column order) so the byte
+    # reassembly runs on (B, lm) slices, never a lane-padded (B, lm, 8)
     loc_bits = ((locator[:, 1 : t2 + 1, None] >> bit_w) & 1).reshape(B, t2 * 8)
-    cb = _gf2_matmul(loc_bits, m_chien).reshape(B, lm, 8)
-    chien = jnp.sum(cb << bit_w, axis=2).astype(jnp.int32) ^ locator[:, None, 0]
+    cb = _gf2_matmul(loc_bits, m_chien).reshape(B, 8, lm)
+    chien = jnp.zeros((B, lm), jnp.int32)
+    for k in range(8):
+        chien = chien | (cb[:, k, :] << k)
+    chien = chien ^ locator[:, None, 0]
     jp = jnp.arange(lm, dtype=jnp.int32)[None, :]
     j_orig = jp - shift[:, None]  # (B, lm) original byte positions
     is_err = (chien == 0) & (j_orig >= 0)

@@ -1076,14 +1076,15 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
                                    "collect_crc", "disable_rs", "min_distance",
                                    "min_packet_length", "max_packet_length",
                                    "total_candidates", "total_rs_blocks",
-                                   "scan_cap", "rs_fail_frac"))
+                                   "scan_cap", "rs_fail_frac", "max_payload"))
 def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
                     max_packets: int = 8, collect_crc: bool = True,
                     disable_rs: bool = False, min_distance: int = 0,
                     min_packet_length: int = 18, max_packet_length: int = 1023,
                     total_candidates: int | None = None,
                     total_rs_blocks: int | None = None,
-                    scan_cap: int = 64, rs_fail_frac: int | None = 2):
+                    scan_cap: int = 64, rs_fail_frac: int | None = 2,
+                    max_payload: int = 1023):
     """On-device codec stage over bank_device_step outputs: (C, B, cap) byte
     streams -> fixed-capacity packet buffers (C, B, max_packets, ...).
 
@@ -1106,6 +1107,7 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
             total_rs_blocks=total_rs_blocks,
             scan_cap=scan_cap,
             rs_fail_frac=rs_fail_frac,
+            max_payload=max_payload,
         )
     elif codec_kind == "ax25":
         out = ax25_decode_blocks(
@@ -1617,9 +1619,52 @@ _CODEC_BUDGET_CACHE: dict = {}
 MP_CAP = 64
 
 
+def _il2p_payload_budget(bank, plan: BlockPlan) -> int:
+    """Static per-candidate payload-byte budget for the device IL2P codec,
+    from the plan's protected-packet bound: the block overlap covers loop
+    acquisition PLUS the longest packet the runtime protects
+    (bank_auto_geometry), so a packet whose wire time exceeds the overlap
+    is already outside the runtime's protection contract -- budgeting the
+    codec's per-candidate buffers (span window, payload assembly, packet
+    bytes, CRC) to that bound cuts its dominant byte-traffic term ~10x on
+    short-packet traffic (the protocol max is 1023).  Bucketed
+    {2^k, 1.5*2^k} so compiles stay rare; a header announcing more marks
+    its block dropped (exact host fallback + escalation to 1023), so
+    packets never depend on the bound."""
+    wire_bytes = 0.0
+    for c in bank.specs:
+        sl = c.slicer
+        sps = sl.sample_rate / sl.symbol_rate
+        bps = getattr(sl, "bits_per_symbol", 2 if sl.kind == "4level" else 1)
+        wire_bytes = max(wire_bytes, plan.overlap / sps * bps / 8.0)
+    if plan.overlap <= 0:
+        return 1023  # single-block plan: no straddle bound to infer from
+    # invert wire = sync(3) + header(15) + mp + 16*ceil(mp/239) + crc(4)
+    mp = 0
+    for blocks in range(1, 6):
+        cand = int(wire_bytes) - 3 - 15 - 16 * blocks - 4
+        cand = min(cand, blocks * 239)
+        if cand > (blocks - 1) * 239:
+            mp = max(mp, cand)
+    return min(_budget_bucket(max(mp, 64), lo=64), 1023)
+
+
+def _rs_frac_default() -> int | None:
+    """Initial syndrome-split fraction (codecs/il2p_device.py
+    _rs_fail_budget); PYMODEM_TPU_RS_FAIL_FRAC overrides (0 = split off)
+    for perf sweeps."""
+    import os
+
+    v = os.environ.get("PYMODEM_TPU_RS_FAIL_FRAC")
+    if v is None:
+        return 2
+    n = int(v)
+    return n if n > 0 else None
+
+
 def _dispatch_codec(codec_key, data, addr, count, sync, plan,
                     max_packets_per_block, total_candidates, scan_cap,
-                    rs_fail_frac: int | None = 2):
+                    rs_fail_frac: int | None = 2, max_payload: int = 1023):
     if codec_key[0] == "il2p":
         return bank_codec_step(
             "il2p", data, addr, count, sync, plan,
@@ -1635,6 +1680,7 @@ def _dispatch_codec(codec_key, data, addr, count, sync, plan,
             total_rs_blocks=total_candidates,
             scan_cap=scan_cap,
             rs_fail_frac=rs_fail_frac,
+            max_payload=max_payload,
         )
     return bank_codec_step(
         "ax25", data, addr, count, sync, plan,
@@ -1731,11 +1777,11 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         else None
     )
 
-    def run_exact(mp, cand_budget, scan_cap, rs_frac):
+    def run_exact(mp, cand_budget, scan_cap, rs_frac, pay_budget):
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan, mp, cand_budget,
-                scan_cap, rs_frac,
+                scan_cap, rs_frac, pay_budget,
             )
         with profiling.timed("codec_sizes"):
             n_ok, _total_bytes, max_len = map(
@@ -1755,26 +1801,28 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                                               flat)
         return n_ok, meta_budget, len_budget, comp, dropped
 
-    def resolve(mp, cand_budget, scan_cap, rs_frac, n_ok, meta_budget,
-                len_budget, comp, dropped):
+    def resolve(mp, cand_budget, scan_cap, rs_frac, pay_budget, n_ok,
+                meta_budget, len_budget, comp, dropped):
         while dropped is not None and dropped.any() and mp < MP_CAP:
             with profiling.timed("device_codec_escalate"):
                 mp = mp * 2
                 scan_cap = min(scan_cap * 2, 128)
                 # dropped does not say WHICH budget saturated; disable the
-                # RS syndrome-split alongside the doublings so a corrupt
-                # chunk overflowing its correction budget also converges
+                # RS syndrome-split and the payload budget alongside the
+                # doublings so ANY saturated budget converges to exact
                 rs_frac = None
+                pay_budget = 1023
                 if total_candidates is None and cand_budget is not None:
                     cand_budget = cand_budget * 2
                 n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-                    mp, cand_budget, scan_cap, rs_frac
+                    mp, cand_budget, scan_cap, rs_frac, pay_budget
                 )
         if total_candidates is None and not (
             dropped is not None and dropped.any()
         ):
             _CODEC_BUDGET_CACHE[cache_key] = (
-                mp, cand_budget, scan_cap, meta_budget, len_budget, rs_frac
+                mp, cand_budget, scan_cap, meta_budget, len_budget, rs_frac,
+                pay_budget,
             )
         else:
             _CODEC_BUDGET_CACHE.pop(cache_key, None)
@@ -1787,13 +1835,12 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         # speculative steady-state path: ZERO readbacks before the packed
         # result -- demod, codec, and compaction queue back-to-back on the
         # device and the single transfer at the end synchronizes everything
-        mp0, cand_budget, scan_cap, meta_budget0, len_budget0, rs_frac0 = (
-            cached
-        )
+        (mp0, cand_budget, scan_cap, meta_budget0, len_budget0, rs_frac0,
+         pay0) = cached
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan, mp0, cand_budget,
-                scan_cap, rs_frac0,
+                scan_cap, rs_frac0, pay0,
             )
         with profiling.timed("device_codec_compact"):
             packed = compact_codec_out(
@@ -1825,7 +1872,7 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                     _, comp, dropped = _read_compact(
                         out, meta_budget, len_budget, np.asarray(repacked)
                     )
-            return resolve(mp0, cand_budget, scan_cap, rs_frac0, n_ok,
+            return resolve(mp0, cand_budget, scan_cap, rs_frac0, pay0, n_ok,
                            meta_budget, len_budget, comp, dropped)
 
         return collect
@@ -1834,6 +1881,10 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         scan_cap = 64
         cand_budget = total_candidates
         mp = max_packets_per_block
+        pay0 = (
+            _il2p_payload_budget(bank, plan)
+            if codec_key[0] == "il2p" else 1023
+        )
         if codec_key[0] == "il2p" and total_candidates is None:
             with profiling.timed("candidate_budget"):
                 cand_budget, scan_cap, max_pb = (
@@ -1844,13 +1895,14 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
             # packet-dense blocks (e.g. single-block plans)
             mp = _auto_max_packets(
                 max_pb, max_packets_per_block,
-                data.shape[0] * data.shape[1], 1041,
+                data.shape[0] * data.shape[1], 16 + pay0 + 2,
             )
+        frac0 = _rs_frac_default()
         n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-            mp, cand_budget, scan_cap, 2
+            mp, cand_budget, scan_cap, frac0, pay0
         )
-        return resolve(mp, cand_budget, scan_cap, 2, n_ok, meta_budget,
-                       len_budget, comp, dropped)
+        return resolve(mp, cand_budget, scan_cap, frac0, pay0, n_ok,
+                       meta_budget, len_budget, comp, dropped)
 
     return collect
 

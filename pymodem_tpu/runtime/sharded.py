@@ -189,7 +189,7 @@ def sharded_bank_step(mesh: Mesh, kind: str, slicer_kind: str, params,
 
 def _shard_codec(codec_key, plan: BlockPlan, max_packets: int,
                  total_candidates: int | None, scan_cap: int,
-                 rs_fail_frac: int | None,
+                 rs_fail_frac: int | None, max_payload: int,
                  d, a, c, s):
     """The per-shard codec body: (C_l, B_l, cap) byte streams -> fixed
     packet buffers.  Absolute stream addresses are computed in-shard from
@@ -213,6 +213,7 @@ def _shard_codec(codec_key, plan: BlockPlan, max_packets: int,
             total_rs_blocks=total_candidates,
             scan_cap=scan_cap,
             rs_fail_frac=rs_fail_frac,
+            max_payload=max_payload,
         )
     else:
         out = ax25_decode_blocks(
@@ -226,12 +227,12 @@ def _shard_codec(codec_key, plan: BlockPlan, max_packets: int,
 @lru_cache(maxsize=256)
 def _codec_step_fn(mesh: Mesh, codec_key, plan: BlockPlan, max_packets: int,
                    total_candidates: int | None, scan_cap: int,
-                   rs_fail_frac: int | None = 2):
+                   rs_fail_frac: int | None = 2, max_payload: int = 1023):
     from jax import shard_map
 
     fn = shard_map(
         partial(_shard_codec, codec_key, plan, max_packets,
-                total_candidates, scan_cap, rs_fail_frac),
+                total_candidates, scan_cap, rs_fail_frac, max_payload),
         mesh=mesh,
         in_specs=(P("chain", "time"),) * 4,
         out_specs=P("chain", "time"),
@@ -243,7 +244,8 @@ def _codec_step_fn(mesh: Mesh, codec_key, plan: BlockPlan, max_packets: int,
 def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
                        plan: BlockPlan, max_packets: int = 8,
                        total_candidates: int | None = None,
-                       scan_cap: int = 64, rs_fail_frac: int | None = 2):
+                       scan_cap: int = 64, rs_fail_frac: int | None = 2,
+                       max_payload: int = 1023):
     """Device codec stage per shard: (C, B, cap) sharded byte streams ->
     fixed-capacity per-shard packet buffers, still sharded over
     ('chain', 'time').  This is the device-side packet gather of SURVEY.md
@@ -251,7 +253,8 @@ def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
     all_gather) collects fixed shapes instead of the reference's Queue
     (pymodem.py:158-163)."""
     fn = _codec_step_fn(mesh, codec_key, plan, max_packets,
-                        total_candidates, scan_cap, rs_fail_frac)
+                        total_candidates, scan_cap, rs_fail_frac,
+                        max_payload)
     return fn(data, addr, count, sync)
 
 
@@ -259,12 +262,12 @@ def sharded_codec_step(mesh: Mesh, codec_key, data, addr, count, sync,
 def _codec_compact_fn(mesh: Mesh, codec_key, plan: BlockPlan,
                       max_packets: int, total_candidates: int | None,
                       scan_cap: int, meta_budget: int, len_budget: int,
-                      rs_fail_frac: int | None = 2):
+                      rs_fail_frac: int | None = 2, max_payload: int = 1023):
     from jax import shard_map
 
     def shard_fn(d, a, c, s):
         out = _shard_codec(codec_key, plan, max_packets, total_candidates,
-                           scan_cap, rs_fail_frac, d, a, c, s)
+                           scan_cap, rs_fail_frac, max_payload, d, a, c, s)
         packed = compact_codec_out(
             out["ok"], out["address"], out["length"], out.get("corrected"),
             out["packet"], meta_budget, len_budget, out.get("dropped"),
@@ -324,14 +327,15 @@ def sharded_codec_compact_step(mesh: Mesh, codec_key, data, addr, count,
                                sync, plan: BlockPlan, max_packets: int,
                                total_candidates: int | None, scan_cap: int,
                                meta_budget: int, len_budget: int,
-                               rs_fail_frac: int | None = 2):
+                               rs_fail_frac: int | None = 2,
+                               max_payload: int = 1023):
     """Fused per-shard codec + compaction: every shard emits one packed
     uint8 buffer (bank.compact_codec_out layout) of identical static size,
     stacked as (n_chain, n_time, L) -- ONE gather collects every shard's
     packets.  The sharded analog of the single-device steady-state path."""
     fn = _codec_compact_fn(mesh, codec_key, plan, max_packets,
                            total_candidates, scan_cap, meta_budget,
-                           len_budget, rs_fail_frac)
+                           len_budget, rs_fail_frac, max_payload)
     return fn(data, addr, count, sync)
 
 
@@ -448,8 +452,12 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
     n_chain, n_time = mesh.shape["chain"], mesh.shape["time"]
     C, B = data.shape[:2]
     c_local, b_local = C // n_chain, B // n_time
+    pay0 = (
+        bank_mod._il2p_payload_budget(bank, plan)
+        if codec_key[0] == "il2p" else 1023
+    )
     Lmax = (
-        1041 if codec_key[0] == "il2p" else codec_key[2] + 2
+        16 + pay0 + 2 if codec_key[0] == "il2p" else codec_key[2] + 2
     )
     cache_key = (codec_key, plan, (C, B), max_packets, (n_chain, n_time))
     cached = (
@@ -458,12 +466,13 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         else None
     )
 
-    def run_exact(mp, cand_budget, scan_cap, rs_frac):
+    def run_exact(mp, cand_budget, scan_cap, rs_frac, pay_budget):
         with profiling.timed("sharded_codec_sizing"):
             out = sharded_codec_step(
                 mesh, codec_key, data, addr, count, sync, plan,
                 max_packets=mp, total_candidates=cand_budget,
                 scan_cap=scan_cap, rs_fail_frac=rs_frac,
+                max_payload=pay_budget,
             )
             shard_ok_max, max_len = (
                 int(v) for v in np.asarray(
@@ -485,8 +494,8 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         )
         return n_ok, meta_budget, len_budget, comp, dropped
 
-    def resolve(mp, cand_budget, scan_cap, rs_frac, n_ok, meta_budget,
-                len_budget, comp, dropped):
+    def resolve(mp, cand_budget, scan_cap, rs_frac, pay_budget, n_ok,
+                meta_budget, len_budget, comp, dropped):
         # per-block budget saturation escalates ON DEVICE, like
         # bank._device_codec_submit; host FSM only past MP_CAP
         while dropped.any() and mp < bank_mod.MP_CAP:
@@ -494,10 +503,11 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
                 mp = mp * 2
                 scan_cap = min(scan_cap * 2, 128)
                 rs_frac = None  # see bank._device_codec_submit.resolve
+                pay_budget = 1023
                 if total_candidates is None and cand_budget is not None:
                     cand_budget = cand_budget * 2
                 n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-                    mp, cand_budget, scan_cap, rs_frac
+                    mp, cand_budget, scan_cap, rs_frac, pay_budget
                 )
         if dropped.any():
             _SHARDED_BUDGET_CACHE.pop(cache_key, None)
@@ -508,7 +518,7 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
             if total_candidates is None:
                 _SHARDED_BUDGET_CACHE[cache_key] = (
                     mp, cand_budget, scan_cap, meta_budget, len_budget,
-                    rs_frac,
+                    rs_frac, pay_budget,
                 )
             arrays = (data, addr, count, sync)
         return packets_from_compact(
@@ -519,14 +529,13 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         # speculative steady-state path: ZERO readbacks before the packed
         # gather -- demod, codec and compaction queue back-to-back on the
         # devices; the single gather at the end synchronizes everything
-        mp0, cand_budget, scan_cap, meta_budget0, len_budget0, rs_frac0 = (
-            cached
-        )
+        (mp0, cand_budget, scan_cap, meta_budget0, len_budget0, rs_frac0,
+         payc) = cached
         with profiling.timed("sharded_codec_step"):
             packed = sharded_codec_compact_step(
                 mesh, codec_key, data, addr, count, sync, plan,
                 mp0, cand_budget, scan_cap, meta_budget0, len_budget0,
-                rs_frac0,
+                rs_frac0, payc,
             )
 
         def collect_cached():
@@ -547,9 +556,10 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
                 with profiling.timed("sharded_codec_redo"):
                     _SHARDED_BUDGET_CACHE.pop(cache_key, None)
                     n_ok, meta_budget, len_budget, comp, dropped = (
-                        run_exact(mp0, cand_budget, scan_cap, rs_frac0)
+                        run_exact(mp0, cand_budget, scan_cap, rs_frac0,
+                                  payc)
                     )
-            return resolve(mp0, cand_budget, scan_cap, rs_frac0, n_ok,
+            return resolve(mp0, cand_budget, scan_cap, rs_frac0, payc, n_ok,
                            meta_budget, len_budget, comp, dropped)
 
         return collect_cached
@@ -572,10 +582,11 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
             mp = bank_mod._auto_max_packets(
                 max_pb, max_packets, c_local * b_local, Lmax,
             )
+        frac0 = bank_mod._rs_frac_default()
         n_ok, meta_budget, len_budget, comp, dropped = run_exact(
-            mp, cand_budget, scan_cap, 2
+            mp, cand_budget, scan_cap, frac0, pay0
         )
-        return resolve(mp, cand_budget, scan_cap, 2, n_ok,
+        return resolve(mp, cand_budget, scan_cap, frac0, pay0, n_ok,
                        meta_budget, len_budget, comp, dropped)
 
     return collect

@@ -377,8 +377,10 @@ def test_budget_cache_speculative_path_matches(fixture_audio):
 
     # poison the compaction budgets: meta_budget/len_budget far too small
     # for the real packet population -> overflow detected -> exact redo
-    mp, cand_budget, scan_cap, _, _ = seeded
-    B._CODEC_BUDGET_CACHE[key] = (mp, cand_budget, scan_cap, 1, 64)
+    mp, cand_budget, scan_cap, _, _, rs_frac, pay = seeded
+    B._CODEC_BUDGET_CACHE[key] = (
+        mp, cand_budget, scan_cap, 1, 64, rs_frac, pay
+    )
     redone = run_banked(chains, audio, codec="device")
     assert pkts(redone) == pkts(first)
     B._CODEC_BUDGET_CACHE.clear()

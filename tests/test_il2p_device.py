@@ -108,3 +108,55 @@ def test_embedded_syncs_in_noise(rng):
     dev, host = _device_decode(stream, max_packets=16), _host_decode(stream)
     # device packets are a prefix-capacity-limited equal set
     assert dev == host[: len(dev)]
+
+
+def test_seeded_sync_history_deviation():
+    """Pin the documented device-path deviation (il2p_device.py module
+    docstring): a sync match that depends on CARRIED WORD HISTORY -- here
+    the host FSM's 0xFFFFFF seed supplying the leading 1-bits of
+    0xF15E48 when the stream starts mid-syncword -- is caught by the
+    bit-serial host FSM but is absent from the device path's pure-bit
+    candidate map (probability < 2^-20 per boundary in real traffic).
+
+    The stream begins with the LAST 20 bits of the 24-bit syncword (its
+    first 4 bits are 1111, exactly what the seed provides), followed by a
+    valid frame body."""
+    import jax.numpy as jnp
+
+    from pymodem_tpu.codecs.host import il2p_decode_host
+    from pymodem_tpu.codecs.il2p_device import il2p_decode_blocks
+    from pymodem_tpu.ops.sync import il2p_sync_candidates
+    from pymodem_tpu.runtime.bank import pack_bits
+    from pymodem_tpu.synth import encode as enc
+
+    frame = enc.il2p_frame("KI5ABC", "N0CALL", b"seeded-sync-test")
+    bits = enc.bytes_to_bits_msb(frame)
+    assert bits[:4] == [1, 1, 1, 1]  # 0xF15E48 leads with 1111
+    clipped = bits[4:]  # stream starts 4 bits into the syncword
+    clipped += [1 if i % 2 == 0 else 0 for i in range(64 - len(clipped) % 8)]
+    stream = np.packbits(np.asarray(clipped, np.uint8))
+
+    addresses = np.arange(1, len(stream) + 1, dtype=np.int64)
+    host_pkts = il2p_decode_host(
+        stream.astype(np.int64), addresses, "t", sync_candidates=None
+    )
+    assert len(host_pkts) == 1  # the seed completes the truncated sync
+    assert bytes(host_pkts[0].data)[16:] [:16] == b"seeded-sync-test"
+
+    data = jnp.asarray(stream)[None, :]
+    sync = pack_bits(il2p_sync_candidates(data, 0))
+    out = il2p_decode_blocks(
+        data, sync, jnp.asarray([len(stream)], jnp.int32),
+        jnp.asarray(addresses, jnp.int32)[None, :], max_packets=4,
+    )
+    # the pure-bit candidate map cannot see the seeded match: documented
+    # miss, with no dropped flag (the deviation is accepted, not fallen
+    # back from)
+    assert int(np.asarray(out["ok"]).sum()) == 0
+    assert int(np.asarray(out["dropped"]).sum()) == 0
+
+    # the production host-codec pipeline still catches it: block skipping
+    # consults il2p_seeded_sync_possible on the stream head
+    from pymodem_tpu.codecs.host import il2p_seeded_sync_possible
+
+    assert il2p_seeded_sync_possible(stream[:4].astype(np.int64), 0)
