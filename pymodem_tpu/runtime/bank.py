@@ -1076,7 +1076,8 @@ def bank_device_step_grouped(kind: str, slicer_kind: str, params,
                                    "collect_crc", "disable_rs", "min_distance",
                                    "min_packet_length", "max_packet_length",
                                    "total_candidates", "total_rs_blocks",
-                                   "scan_cap", "rs_fail_frac", "max_payload"))
+                                   "scan_cap", "rs_fail_frac", "max_payload",
+                                   "keep_filter"))
 def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
                     max_packets: int = 8, collect_crc: bool = True,
                     disable_rs: bool = False, min_distance: int = 0,
@@ -1084,12 +1085,21 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
                     total_candidates: int | None = None,
                     total_rs_blocks: int | None = None,
                     scan_cap: int = 64, rs_fail_frac: int | None = 2,
-                    max_payload: int = 1023):
+                    max_payload: int = 1023, keep_filter: bool = False):
     """On-device codec stage over bank_device_step outputs: (C, B, cap) byte
     streams -> fixed-capacity packet buffers (C, B, max_packets, ...).
 
     Absolute stream addresses are formed on device (block b's demod range
-    starts at b*block_len - overlap)."""
+    starts at b*block_len - overlap).
+
+    ``keep_filter``: apply the per-block keep window (plan.keep_range) ON
+    DEVICE -- each packet is attributed to exactly one block before
+    compaction, so halo duplicates (~1+overlap/block of the emitted
+    rows) never reach the packed transfer or the host packet build.  The
+    host-side filter stays as an idempotent guard.  Only valid when
+    ``plan`` describes the true global recording (the streaming path
+    addresses blocks locally against a template plan and filters on
+    host)."""
     from ..codecs.ax25_device import ax25_decode_blocks
     from ..codecs.il2p_device import il2p_decode_blocks
 
@@ -1117,6 +1127,13 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
         )
     else:
         raise ValueError(codec_kind)
+    if keep_filter:
+        lo = (
+            jnp.arange(n_blocks, dtype=jnp.int32) * plan.block_len
+        )[None, :, None]
+        hi = jnp.minimum(lo + plan.block_len, plan.n_demod)
+        a = out["address"]
+        out["ok"] = out["ok"] & (a > lo) & (a <= hi)
     out["packet"] = out["packet"].astype(jnp.uint8)  # shrink the transfer
     return out
 
@@ -1664,7 +1681,8 @@ def _rs_frac_default() -> int | None:
 
 def _dispatch_codec(codec_key, data, addr, count, sync, plan,
                     max_packets_per_block, total_candidates, scan_cap,
-                    rs_fail_frac: int | None = 2, max_payload: int = 1023):
+                    rs_fail_frac: int | None = 2, max_payload: int = 1023,
+                    keep_filter: bool = False):
     if codec_key[0] == "il2p":
         return bank_codec_step(
             "il2p", data, addr, count, sync, plan,
@@ -1681,12 +1699,14 @@ def _dispatch_codec(codec_key, data, addr, count, sync, plan,
             scan_cap=scan_cap,
             rs_fail_frac=rs_fail_frac,
             max_payload=max_payload,
+            keep_filter=keep_filter,
         )
     return bank_codec_step(
         "ax25", data, addr, count, sync, plan,
         max_packets=max_packets_per_block,
         min_packet_length=codec_key[1],
         max_packet_length=codec_key[2],
+        keep_filter=keep_filter,
     )
 
 
@@ -1768,6 +1788,10 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
     remains only as the terminal path past MP_CAP."""
     from .. import profiling
 
+    # the true-global-plan path filters packets to their block's keep
+    # window ON DEVICE (bank_codec_step keep_filter); the streaming path
+    # (local block template + host_plan) keeps host-side filtering
+    device_keep = host_plan is None and block0 == 0
     if host_plan is None:
         host_plan = plan
     cache_key = (codec_key, plan, data.shape[:2], max_packets_per_block)
@@ -1781,7 +1805,7 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan, mp, cand_budget,
-                scan_cap, rs_frac, pay_budget,
+                scan_cap, rs_frac, pay_budget, device_keep,
             )
         with profiling.timed("codec_sizes"):
             n_ok, _total_bytes, max_len = map(
@@ -1840,7 +1864,7 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan, mp0, cand_budget,
-                scan_cap, rs_frac0, pay0,
+                scan_cap, rs_frac0, pay0, device_keep,
             )
         with profiling.timed("device_codec_compact"):
             packed = compact_codec_out(

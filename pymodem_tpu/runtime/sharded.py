@@ -220,6 +220,13 @@ def _shard_codec(codec_key, plan: BlockPlan, max_packets: int,
             d.astype(jnp.uint8), c, addr_abs, max_packets=max_packets,
             min_packet_length=codec_key[1], max_packet_length=codec_key[2],
         )
+    # per-block keep window on device (bank.bank_codec_step keep_filter):
+    # the sharded plan is always the true global recording, so halo
+    # duplicates drop before the in-shard compaction and the gather
+    lo = (g * plan.block_len)[None, :, None]
+    hi = jnp.minimum(lo + plan.block_len, plan.n_demod)
+    a_out = out["address"]
+    out["ok"] = out["ok"] & (a_out > lo) & (a_out <= hi)
     out["packet"] = out["packet"].astype(jnp.uint8)
     return out
 
