@@ -133,7 +133,7 @@ def main() -> int:
     packets = run_banked(chains, tiled, codec="host", **kw300)
     n_packets = sum(len(v) for v in packets.values())
     best, med, _ = _measure(
-        lambda: run_banked(chains, tiled, codec="host", **kw300), reps=3
+        lambda: run_banked(chains, tiled, codec="host", **kw300), reps=5
     )
     msps = chain_samples / best / 1e6
     msps_med = chain_samples / med / 1e6
@@ -153,7 +153,7 @@ def main() -> int:
     n_pll = sum(len(v) for v in pll_packets.values())
     best_pll, med_pll, _ = _measure(
         lambda: run_banked(pll_chains, tiled, codec="device", **kw300),
-        reps=3,
+        reps=5,
     )
     msps_pll = pll_samples / best_pll / 1e6
     msps_pll_med = pll_samples / med_pll / 1e6
@@ -175,7 +175,7 @@ def main() -> int:
     )
     best_wide, med_wide, _ = _measure(
         lambda: run_banked(wide_chains, tiled, codec="device", **kw300),
-        reps=3,
+        reps=5,
     )
     msps_wide = wide_samples / best_wide / 1e6
     msps_wide_med = wide_samples / med_wide / 1e6
@@ -194,7 +194,7 @@ def main() -> int:
     )
     best_pipe, med_pipe, _ = _measure(
         lambda: run_banked_many(pll_chains, stream, depth=1, **kw300),
-        reps=3,
+        reps=5,
     )
     msps_pipe = len(stream) * pll_samples / best_pipe / 1e6
     msps_pipe_med = len(stream) * pll_samples / med_pipe / 1e6
@@ -217,7 +217,7 @@ def main() -> int:
         return n
 
     n_stream = stream_hour()
-    best_stream, med_stream, _ = _measure(stream_hour, reps=3)
+    best_stream, med_stream, _ = _measure(stream_hour, reps=5)
     msps_stream = chain_samples / best_stream / 1e6
     msps_stream_med = chain_samples / med_stream / 1e6
 
