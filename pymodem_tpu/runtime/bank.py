@@ -1636,6 +1636,35 @@ _CODEC_BUDGET_CACHE: dict = {}
 MP_CAP = 64
 
 
+def _merge_budget_entry(prev, new):
+    """Upper-bound merge of two budget-cache entries sharing one key.
+
+    Several dispatches can share a cache key while seeing different
+    traffic (block groups of one recording, streaming steps): if each
+    stored ITS exact budgets, a group that escalated (e.g. payload
+    budget -> 1023) and one that didn't would overwrite each other and
+    every later run would ping-pong through redo -> escalate -> pop
+    (measured: a 0.29 s PLL hour became 13 s/run).  Budgets are upper
+    bounds -- taking the elementwise maximum (and the SAFER side of the
+    RS split knob) is always correct and converges the shared entry."""
+    if prev is None:
+        return new
+    mp = max(prev[0], new[0])
+    cand = (
+        None if prev[1] is None or new[1] is None
+        else max(prev[1], new[1])
+    )
+    scan = max(prev[2], new[2])
+    meta = max(prev[3], new[3])
+    lenb = max(prev[4], new[4])
+    frac = (
+        None if prev[5] is None or new[5] is None
+        else min(prev[5], new[5])
+    )
+    pay = max(prev[6], new[6])
+    return (mp, cand, scan, meta, lenb, frac, pay)
+
+
 def _il2p_payload_budget(bank, plan: BlockPlan) -> int:
     """Static per-candidate payload-byte budget for the device IL2P codec,
     from the plan's protected-packet bound: the block overlap covers loop
@@ -1844,9 +1873,10 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         if total_candidates is None and not (
             dropped is not None and dropped.any()
         ):
-            _CODEC_BUDGET_CACHE[cache_key] = (
-                mp, cand_budget, scan_cap, meta_budget, len_budget, rs_frac,
-                pay_budget,
+            _CODEC_BUDGET_CACHE[cache_key] = _merge_budget_entry(
+                _CODEC_BUDGET_CACHE.get(cache_key),
+                (mp, cand_budget, scan_cap, meta_budget, len_budget,
+                 rs_frac, pay_budget),
             )
         else:
             _CODEC_BUDGET_CACHE.pop(cache_key, None)
@@ -2284,12 +2314,27 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
             ),
             default=0,
         )
+        groups = _codec_subgroups(bank) if codec == "device" else None
+        if (
+            groups is not None
+            and group is not None
+            and plan.n_blocks > group
+        ):
+            # long recording on the device-codec route: per-group
+            # pipelined dispatch (readbacks/host builds hide behind
+            # later groups' device compute)
+            with profiling.timed("device_step"):
+                collectors.append(_submit_bank_group_pipelined(
+                    bank, plan, group, st, cap, sync_tol, audio, dtype,
+                    method, unroll, groups, max_packets_per_block,
+                    total_candidates,
+                ))
+            continue
         with profiling.timed("device_step"):
             arrays = _dispatch_bank_step(
                 bank, plan, st, cap, sync_tol, audio, dtype, method,
                 unroll, group,
             )
-        groups = _codec_subgroups(bank) if codec == "device" else None
         if groups is not None:
             data, addr, count, sync = arrays
             collectors.append(_device_codec_submit_mixed(
@@ -2300,6 +2345,87 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
             collectors.append(_p(_host_codec_collect, bank, plan, sync_tol,
                                  arrays))
     return collectors
+
+
+@partial(jax.jit, static_argnames=("win_len",))
+def _slice_window(padded: jax.Array, start, win_len: int) -> jax.Array:
+    return jax.lax.dynamic_slice(
+        padded, (jnp.asarray(start, jnp.int32),), (win_len,)
+    )
+
+
+def _submit_bank_group_pipelined(bank, plan, group, st, cap, sync_tol, audio,
+                                 dtype, method, unroll, codec_groups,
+                                 max_packets_per_block, total_candidates):
+    """Per-block-group pipelined submission for one bank: demod + codec +
+    compaction dispatch PER GROUP, so group i's packed readback and host
+    packet build overlap groups i+1..'s device compute.
+
+    The single-program grouped dispatch (bank_device_step_grouped) leaves
+    a serial tail on a single-shot call: after the whole device chain
+    finishes, the packed transfer (~2 MB at ~40 MB/s on this tunnel) and
+    the host Packet build run with the device idle -- ~75-100 ms of the
+    coherent-PLL hour that only run_banked_many's cross-recording
+    pipelining could hide.  Here the recording's padded audio stays
+    device-resident and each group runs the SAME programs the streaming
+    decoder uses (bank_device_step_window + the local-template
+    _device_codec_submit with ``block0``), so every group's collect
+    drains while later groups compute.  Semantics are identical to the
+    grouped dispatch: same block boundaries, same per-group AGC
+    normalization (the grouped lax.map also normalizes per group), same
+    keep/dedup arithmetic -- asserted by the grouped-vs-single parity
+    tests."""
+    g = group
+    n_groups = -(-plan.n_blocks // g)
+    stride = plan.stride_in
+    ext = plan.block_input_len - stride
+    total = n_groups * g * stride + ext
+    if isinstance(audio, jax.Array) and not isinstance(audio, np.ndarray):
+        wire = audio
+    else:
+        audio = np.asarray(audio)
+        wire = audio if audio.dtype in (np.int16, np.float32) else (
+            audio.astype(np.float64) if dtype == jnp.float64
+            else audio.astype(np.float32)
+        )
+    padded = jnp.pad(
+        jnp.asarray(wire),
+        (plan.front_pad, total - plan.front_pad - plan.n_audio),
+    )
+    win_len = (g - 1) * stride + plan.block_input_len
+    template = BlockPlan(
+        n_audio=0, trim=bank.trim, block_len=plan.block_len,
+        overlap=plan.overlap, up=plan.up, trim_post=plan.trim_post,
+    )
+    pallas = _pallas_loop_wanted(dtype)
+    subs = []
+    for gi in range(n_groups):
+        win = _slice_window(padded, gi * g * stride, win_len)
+        data, addr, count, sync = bank_device_step_window(
+            bank.kind, bank.slicer_kind, bank.params, win, g, stride, ext,
+            cap, bank.stream_polys, bank.stream_inverts,
+            st["state_mask"], st["bits_per_symbol"], sync_tol, method,
+            unroll, st["compact_window"], pallas=pallas,
+            slicer_demap=st["demap"], dtype=jnp.dtype(dtype).name,
+        )
+        subs.append(_device_codec_submit_mixed(
+            bank, template, codec_groups, data, addr, count, sync,
+            max_packets_per_block, total_candidates, block0=gi * g,
+            host_plan=plan,
+        ))
+
+    def collect():
+        merged: dict[str, list] = {}
+        for sub in subs:
+            for name, pkts in sub().items():
+                merged.setdefault(name, []).extend(pkts)
+        by_name = {c.name: c for c in bank.specs}
+        return {
+            name: _dedup_block_boundary(pkts, by_name[name])
+            for name, pkts in merged.items()
+        }
+
+    return collect
 
 
 def run_banked_many(chains, audios, depth: int = 1, dtype=None,

@@ -524,8 +524,11 @@ def _sharded_codec_submit(mesh: Mesh, bank, plan: BlockPlan, codec_key,
         else:
             if total_candidates is None:
                 _SHARDED_BUDGET_CACHE[cache_key] = (
-                    mp, cand_budget, scan_cap, meta_budget, len_budget,
-                    rs_frac, pay_budget,
+                    bank_mod._merge_budget_entry(
+                        _SHARDED_BUDGET_CACHE.get(cache_key),
+                        (mp, cand_budget, scan_cap, meta_budget,
+                         len_budget, rs_frac, pay_budget),
+                    )
                 )
             arrays = (data, addr, count, sync)
         return packets_from_compact(

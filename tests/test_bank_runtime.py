@@ -700,3 +700,78 @@ def test_mixed_codec_bank_keeps_device_codec(rng):
         want = [(p.streamaddress, bytes(p.data)) for p in host[chain.name]]
         assert got == want, chain.name
         assert len(got) >= 3, chain.name
+
+
+def test_budget_cache_merge_across_heterogeneous_workloads(rng):
+    """Dispatches sharing one budget-cache key can see different traffic
+    (block groups of one recording, streaming steps, same-shape
+    recordings).  A store must MERGE upper bounds with the existing entry
+    (bank._merge_budget_entry) instead of overwriting: before round 5's
+    fix, a long-packet workload (payload-budget escalation -> 1023) and a
+    short-packet one ping-ponged the shared entry, so every later run
+    re-ran the redo -> escalate -> host-fallback ladder (a 0.29 s TPU
+    PLL hour measured 13 s/run)."""
+    from pymodem_tpu import profiling
+    from pymodem_tpu.config import (
+        AFSKModemSpec,
+        BinarySlicerSpec,
+        ChainSpec,
+        IL2PCodecSpec,
+        LFSRStreamSpec,
+    )
+    from pymodem_tpu.runtime import bank as B
+    from pymodem_tpu.synth import fixtures as fx
+    from pymodem_tpu.synth import modulate as mod
+
+    rate = 8000.0
+    chain = ChainSpec(
+        name="m",
+        modem=AFSKModemSpec(sample_rate=rate),
+        slicer=BinarySlicerSpec(sample_rate=rate, symbol_rate=1200.0,
+                                lock_rate=0.75),
+        stream=LFSRStreamSpec(polynomial=0x3, invert=False),
+        codec=IL2PCodecSpec(ident="m"),
+    )
+
+    def rec(size):
+        line = fx.il2p_line_bits(fx.payloads(rng, count=2, size=size),
+                                 polynomial=0x3, invert=False,
+                                 gap_bits=40000)
+        a = np.asarray(mod.afsk_modulate(line, rate, 1200.0, 1200.0, 2200.0),
+                       np.float32)
+        return a
+
+    long_rec, short_rec = rec(300), rec(40)
+    n = max(len(long_rec), len(short_rec))
+    long_rec = np.pad(long_rec, (0, n - len(long_rec)))
+    short_rec = np.pad(short_rec, (0, n - len(short_rec)))
+    kw = dict(codec="device", dtype=np.float32, block_seconds=8.0,
+              overlap_seconds=1.5)
+
+    B._CODEC_BUDGET_CACHE.clear()
+    first_long = B.run_banked([chain], long_rec, **kw)   # escalates pay
+    first_short = B.run_banked([chain], short_rec, **kw)  # same cache key
+    assert len(B._CODEC_BUDGET_CACHE) == 1
+    entry = next(iter(B._CODEC_BUDGET_CACHE.values()))
+    assert entry[6] == 1023, entry  # merged entry keeps the escalated pay
+
+    profiling.reset()
+    profiling.enable(True)
+    try:
+        again_long = B.run_banked([chain], long_rec, **kw)
+        again_short = B.run_banked([chain], short_rec, **kw)
+    finally:
+        profiling.enable(False)
+    counts = profiling.counts()
+    assert counts.get("device_codec_escalate", 0) == 0, counts
+    assert counts.get("device_codec_redo", 0) == 0, counts
+    assert counts.get("packet_fallback", 0) <= 2, counts  # no host decodes
+
+    def pk(res):
+        return {k: [(p.streamaddress, bytes(p.data)) for p in v]
+                for k, v in res.items()}
+
+    assert pk(again_long) == pk(first_long)
+    assert pk(again_short) == pk(first_short)
+    assert sum(len(v) for v in first_long.values()) >= 1
+    assert sum(len(v) for v in first_short.values()) >= 1
