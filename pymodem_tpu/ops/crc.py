@@ -41,13 +41,29 @@ def np_crc16(data: np.ndarray) -> int:
     return int(crc ^ np.uint16(0xFFFF))
 
 
-def np_check_packet(data: np.ndarray) -> tuple[int, int, bool]:
+def crc_bit_distance(carried: int, calculated: int) -> int:
+    """Hamming distance between a packet's carried and calculated CRCs --
+    the reference's ``Distance8``-table near-miss metric
+    (crc_functions.py:14-61).  Its shipped validity test is
+    ``distance <= 0`` (plain equality, which np_check_packet applies),
+    but the metric itself is part of the CheckCRC surface: a caller can
+    rank almost-valid packets by how many CRC bits disagree."""
+    return int(bin((carried ^ calculated) & 0xFFFF).count("1"))
+
+
+def np_check_packet(data: np.ndarray,
+                    max_distance: int = 0) -> tuple[int, int, bool]:
     """(carried, calculated, valid) for a packet whose last two bytes carry
-    the CRC little-endian (crc_functions.py:9-61)."""
+    the CRC little-endian (crc_functions.py:9-61).
+
+    ``max_distance``: accept packets whose CRCs differ in at most that
+    many bits -- the reference's near-miss knob, hardcoded to 0
+    (equality) in its shipped CheckCRC; exposed here for the same
+    ranking/diagnostic uses its Distance8 table enables."""
     data = np.asarray(data)
     carried = int(data[-1]) * 256 + int(data[-2])
     calc = np_crc16(data[:-2])
-    return carried, calc, calc == carried
+    return carried, calc, crc_bit_distance(carried, calc) <= max_distance
 
 
 def np_append_crc(data: list[int]) -> None:

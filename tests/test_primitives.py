@@ -314,3 +314,48 @@ def test_pd_lookup_computed_matches_table(rng):
     diff = np.abs(np.asarray(via_table) - np.asarray(computed))
     assert (diff != 0).mean() < 0.001  # rare round-boundary flips only
     assert diff.max() <= 1
+
+
+def test_crc_bit_distance_matches_reference_table():
+    """The CheckCRC near-miss metric (crc_functions.py:14-61): the
+    reference's Distance8 table is the per-byte popcount, so the
+    two-byte distance is the CRC XOR's popcount -- crc_bit_distance.
+    The shipped threshold (<= 0) reduces to the equality np_check_packet
+    applies by default (verified against ref.CheckCRC on valid and
+    corrupted packets), while the exposed knob accepts near-misses."""
+    import importlib.util
+
+    from pymodem_tpu.ops.crc import (
+        crc_bit_distance,
+        np_append_crc,
+        np_check_packet,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_crc", "/root/reference/modems_codecs/crc_functions.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    rng = np.random.default_rng(9)
+    for trial in range(50):
+        data = list(rng.integers(0, 256, 24))
+        np_append_crc(data)
+        arr = np.asarray(data)
+        if trial % 2:  # corrupt 1-3 packet/CRC bytes
+            for pos in rng.integers(0, len(arr), rng.integers(1, 4)):
+                arr[pos] ^= int(rng.integers(1, 256))
+        r_carried, r_calc, r_valid = ref.CheckCRC(arr)
+        carried, calc, valid = np_check_packet(arr)
+        assert (carried, calc, valid) == (r_carried, r_calc, r_valid)
+        # the metric itself: distance 0 iff the reference accepts
+        assert (crc_bit_distance(carried, calc) == 0) == r_valid
+    # the near-miss knob: a 1-bit-corrupted CRC is rejected by both
+    # shipped paths, accepted at max_distance=1
+    data = list(rng.integers(0, 256, 32))
+    np_append_crc(data)
+    corrupt = np.asarray(data)
+    corrupt[-1] ^= 0x10
+    assert ref.CheckCRC(corrupt)[2] is False
+    assert not np_check_packet(corrupt)[2]
+    assert np_check_packet(corrupt, max_distance=1)[2]
+    assert crc_bit_distance(*np_check_packet(corrupt)[:2]) == 1
