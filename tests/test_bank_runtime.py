@@ -775,3 +775,38 @@ def test_budget_cache_merge_across_heterogeneous_workloads(rng):
     assert pk(again_short) == pk(first_short)
     assert sum(len(v) for v in first_long.values()) >= 1
     assert sum(len(v) for v in first_short.values()) >= 1
+
+
+def test_grouped_pipelined_matches_grouped_host(fixture_audio):
+    """Grouped banks on the device-codec route dispatch per block group
+    (bank._submit_bank_group_pipelined) so readbacks overlap later
+    groups' compute; packets must equal the grouped host-FSM route
+    (identical per-group demod programs, exact codec)."""
+    from dataclasses import replace
+
+    from pymodem_tpu.runtime.bank import run_banked
+
+    path = os.path.join(CONFIG_DIR, "afsk_300.json")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    base = [c for c in plan.chains
+            if c.name == "AFSK 300 Il2Pc PLL inverted"][0]
+    chains = [replace(base, name=f"p{i}",
+                      modem=replace(base.modem, carrier_freq=1698.0 + i))
+              for i in range(2)]
+    audio = np.tile(audio, 2)  # ~313 s -> several 4-block groups
+    kw = dict(dtype=np.float32, block_seconds=20.0, overlap_seconds=4.0,
+              max_packet_seconds=3.0, max_blocks_per_step=4)
+    host = run_banked(chains, audio, codec="host", **kw)
+    dev = run_banked(chains, audio, codec="device", **kw)
+    dev2 = run_banked(chains, audio, codec="device", **kw)  # cache warm
+    total = 0
+    for c in chains:
+        a = [(p.streamaddress, bytes(p.data)) for p in host[c.name]]
+        b = [(p.streamaddress, bytes(p.data)) for p in dev[c.name]]
+        b2 = [(p.streamaddress, bytes(p.data)) for p in dev2[c.name]]
+        assert a == b == b2, (c.name, len(a), len(b))
+        total += len(a)
+    assert total > 100
