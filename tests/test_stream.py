@@ -143,3 +143,37 @@ def test_stream_mixed_dtype_feeds(fixture_audio):
 
     assert _pairs(got_mix) == _pairs(got_int)
     assert len(got_int) > 0
+
+
+def test_stream_device_tail_warm_path(fixture_audio):
+    """Steady-state feeds take the device-resident-tail fast path: after
+    the first step each submission consumes the previous step's tail
+    (uploading only the new samples) and advances the tail cursor, and
+    the cold/warm split changes no packet (the chunked-vs-oneshot
+    equality above already pins payloads; this pins the tail
+    mechanics)."""
+    import os
+
+    import jax
+
+    if not os.path.exists(CONFIG):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    audio = audio[: rate * 60]
+    plan = load_plan(CONFIG, rate)
+    chains = [c for c in plan.chains
+              if c.name == "AFSK 300 Il2Pc Correlator"]
+    dec = StreamDecoder(chains, rate, block_seconds=4.0,
+                        overlap_seconds=6.0, blocks_per_step=2)
+    for s0 in range(0, len(audio), 10 * rate):
+        dec.feed(audio[s0: s0 + 10 * rate])
+    dec.drain()
+    for st in dec._banks:
+        assert st.tail is not None and st.tail_block > 0
+        assert isinstance(st.tail, jax.Array)
+        ext = st.plan.block_input_len - dec.block_len
+        assert st.tail.shape == (ext,)
+        # the cursor names the NEXT step the tail is positioned for
+        assert st.tail_block == st.next_block
+    dec.flush()
+    assert sum(len(v) for v in dec.packets().values()) > 0
