@@ -68,6 +68,8 @@ def main() -> int:
     kw = dict(codec="device", block_seconds=float(len(segment)) / rate / 2,
               overlap_seconds=1.2)
 
+    from dataclasses import replace
+
     orig_gather = sh.gather_to_host
     gathered = {"bytes": 0, "calls": 0}
 
@@ -79,42 +81,60 @@ def main() -> int:
 
     sh.gather_to_host = spy
     rows = []
-    t1 = None
     try:
-        for n in (1, 2, 4, 8):
-            audio = np.tile(segment, n)  # constant per-shard samples
-            mesh = sh.make_mesh(1, n)
-            sh._SHARDED_BUDGET_CACHE.clear()
-            res = sh.run_banked_sharded(chains, audio, mesh, **kw)
-            npk = sum(len(v) for v in res.values())
-            assert npk == 6 * n, (npk, n)  # every segment's packets decode
-            best = 1e9
-            for _ in range(3):
-                gathered["bytes"] = gathered["calls"] = 0
-                t0 = time.perf_counter()
-                sh.run_banked_sharded(chains, audio, mesh, **kw)
-                best = min(best, time.perf_counter() - t0)
-            if t1 is None:
-                t1 = best
-            rows.append({
-                "devices": n,
-                "samples_per_shard": len(segment),
-                "packets": npk,
-                "wall_ms": best * 1e3,
-                "efficiency": t1 / best,
-                "gather_bytes_per_shard": gathered["bytes"] // n,
-                "gathers": gathered["calls"],
-            })
-            print(rows[-1], flush=True)
+        for axis in ("time", "chain"):
+            t1 = None
+            for n in (1, 2, 4, 8):
+                if axis == "time":
+                    # each added device brings its own audio segment
+                    audio = np.tile(segment, n)
+                    run_chains = chains
+                    mesh = sh.make_mesh(1, n)
+                    expect = 6 * n
+                else:
+                    # each added device brings its own chain (sweep bank)
+                    audio = segment
+                    run_chains = [
+                        replace(chains[0], name=f"ws{i}",
+                                codec=replace(chains[0].codec,
+                                              ident=f"ws{i}"))
+                        for i in range(n)
+                    ]
+                    mesh = sh.make_mesh(n, 1)
+                    expect = 6 * n
+                sh._SHARDED_BUDGET_CACHE.clear()
+                res = sh.run_banked_sharded(run_chains, audio, mesh, **kw)
+                npk = sum(len(v) for v in res.values())
+                assert npk == expect, (axis, npk, n)
+                best = 1e9
+                for _ in range(3):
+                    gathered["bytes"] = gathered["calls"] = 0
+                    t0 = time.perf_counter()
+                    sh.run_banked_sharded(run_chains, audio, mesh, **kw)
+                    best = min(best, time.perf_counter() - t0)
+                if t1 is None:
+                    t1 = best
+                rows.append({
+                    "axis": axis,
+                    "devices": n,
+                    "samples_per_shard": len(segment),
+                    "packets": npk,
+                    "wall_ms": best * 1e3,
+                    "efficiency": t1 / best,
+                    "gather_bytes_per_shard": gathered["bytes"] // n,
+                    "gathers": gathered["calls"],
+                })
+                print(rows[-1], flush=True)
     finally:
         sh.gather_to_host = orig_gather
     if "--md" in sys.argv:
         print()
-        print("| devices | samples/shard | packets | wall (ms) | "
+        print("| axis | devices | samples/shard | packets | wall (ms) | "
               "weak-scaling efficiency | gather B/shard |")
-        print("|---|---|---|---|---|---|")
+        print("|---|---|---|---|---|---|---|")
         for r in rows:
-            print(f"| {r['devices']} | {r['samples_per_shard']} | "
+            print(f"| {r['axis']} | {r['devices']} | "
+                  f"{r['samples_per_shard']} | "
                   f"{r['packets']} | {r['wall_ms']:.0f} | "
                   f"{r['efficiency']:.2f} | "
                   f"{r['gather_bytes_per_shard']} |")
