@@ -160,3 +160,45 @@ def test_seeded_sync_history_deviation():
     from pymodem_tpu.codecs.host import il2p_seeded_sync_possible
 
     assert il2p_seeded_sync_possible(stream[:4].astype(np.int64), 0)
+
+
+def test_multiblock_payloads(rng):
+    """Payloads past 239 bytes split into 2-5 RS blocks with the
+    big/small ceil-split layout (il2p.py:346-358): the device codec must
+    match the host FSM on clean and RS-corrected multi-block frames,
+    including the protocol-max 1023-byte payload (5 blocks), and the
+    per-candidate payload budget must either cover the packet or drop
+    its stream block for exact host fallback -- never truncate."""
+    from pymodem_tpu.codecs.il2p_device import il2p_decode_blocks
+    from pymodem_tpu.ops.sync import il2p_sync_candidates
+    from pymodem_tpu.runtime.bank import pack_bits
+
+    import jax.numpy as jnp
+
+    for size, corrupt in ((300, 0), (500, 3), (1023, 0)):
+        parts = [rng.integers(0, 256, 40, dtype=np.int64)]
+        payload = payloads(rng, count=1, size=size)[0]
+        frame = np.array(il2p_frame("KI5ABC", "N0CALL", payload),
+                         dtype=np.int64)
+        if corrupt:
+            pos = rng.choice(np.arange(20, len(frame) - 6), corrupt,
+                             replace=False)
+            frame[pos] ^= rng.integers(1, 256, corrupt)
+        parts += [frame, rng.integers(0, 256, 40, dtype=np.int64)]
+        stream = np.concatenate(parts)
+        host = _host_decode(stream)
+        assert len(host) == 1 and len(host[0][0]) == size + 18, size
+        dev = _device_decode(stream)
+        assert dev == host, size
+
+        # budget smaller than the payload: the block is flagged dropped
+        # (dispatcher escalates / falls back), with no truncated emission
+        data = jnp.asarray(stream.astype(np.uint8))[None, :]
+        sync = pack_bits(il2p_sync_candidates(data, 0))
+        out = il2p_decode_blocks(
+            data, sync, jnp.asarray([len(stream)], jnp.int32),
+            jnp.arange(1, len(stream) + 1, dtype=jnp.int32)[None, :],
+            max_packets=4, max_payload=128,
+        )
+        assert int(np.asarray(out["ok"]).sum()) == 0
+        assert int(np.asarray(out["dropped"]).sum()) > 0
