@@ -1085,7 +1085,8 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
                     total_candidates: int | None = None,
                     total_rs_blocks: int | None = None,
                     scan_cap: int = 64, rs_fail_frac: int | None = 2,
-                    max_payload: int = 1023, keep_filter: bool = False):
+                    max_payload: int = 1023, keep_filter: bool = False,
+                    keep_globals: tuple[int, int] | None = None):
     """On-device codec stage over bank_device_step outputs: (C, B, cap) byte
     streams -> fixed-capacity packet buffers (C, B, max_packets, ...).
 
@@ -1099,7 +1100,14 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
     host-side filter stays as an idempotent guard.  Only valid when
     ``plan`` describes the true global recording (the streaming path
     addresses blocks locally against a template plan and filters on
-    host)."""
+    host) -- unless ``keep_globals`` supplies the missing geometry.
+
+    ``keep_globals``: (block0, n_demod_true) for block-RANGE dispatches
+    against a local template plan (_submit_codec_tiled): emitted
+    addresses stay LOCAL (the host build shifts them by whole blocks,
+    packets_from_compact), but the keep window is evaluated at the true
+    global block indices, so halo duplicates are still dropped on device
+    before the packed transfer."""
     from ..codecs.ax25_device import ax25_decode_blocks
     from ..codecs.il2p_device import il2p_decode_blocks
 
@@ -1128,11 +1136,12 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
     else:
         raise ValueError(codec_kind)
     if keep_filter:
+        b0, n_demod_true = keep_globals if keep_globals else (0, plan.n_demod)
         lo = (
-            jnp.arange(n_blocks, dtype=jnp.int32) * plan.block_len
+            (jnp.arange(n_blocks, dtype=jnp.int32) + b0) * plan.block_len
         )[None, :, None]
-        hi = jnp.minimum(lo + plan.block_len, plan.n_demod)
-        a = out["address"]
+        hi = jnp.minimum(lo + plan.block_len, n_demod_true)
+        a = out["address"] + b0 * plan.block_len
         out["ok"] = out["ok"] & (a > lo) & (a <= hi)
     out["packet"] = out["packet"].astype(jnp.uint8)  # shrink the transfer
     return out
@@ -1711,7 +1720,8 @@ def _rs_frac_default() -> int | None:
 def _dispatch_codec(codec_key, data, addr, count, sync, plan,
                     max_packets_per_block, total_candidates, scan_cap,
                     rs_fail_frac: int | None = 2, max_payload: int = 1023,
-                    keep_filter: bool = False):
+                    keep_filter: bool = False,
+                    keep_globals: tuple[int, int] | None = None):
     if codec_key[0] == "il2p":
         return bank_codec_step(
             "il2p", data, addr, count, sync, plan,
@@ -1729,6 +1739,7 @@ def _dispatch_codec(codec_key, data, addr, count, sync, plan,
             rs_fail_frac=rs_fail_frac,
             max_payload=max_payload,
             keep_filter=keep_filter,
+            keep_globals=keep_globals,
         )
     return bank_codec_step(
         "ax25", data, addr, count, sync, plan,
@@ -1736,6 +1747,7 @@ def _dispatch_codec(codec_key, data, addr, count, sync, plan,
         min_packet_length=codec_key[1],
         max_packet_length=codec_key[2],
         keep_filter=keep_filter,
+        keep_globals=keep_globals,
     )
 
 
@@ -1788,7 +1800,8 @@ def _len_bucket(max_len: int, lmax: int) -> int:
 
 def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
                          max_packets_per_block, total_candidates,
-                         block0: int = 0, host_plan: BlockPlan | None = None):
+                         block0: int = 0, host_plan: BlockPlan | None = None,
+                         keep_globals: tuple[int, int] | None = None):
     """Dispatch the on-device codec + compaction over bank outputs; return
     a collect() closure that performs the (single, packed) readback and
     builds packet objects.
@@ -1819,8 +1832,12 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
 
     # the true-global-plan path filters packets to their block's keep
     # window ON DEVICE (bank_codec_step keep_filter); the streaming path
-    # (local block template + host_plan) keeps host-side filtering
-    device_keep = host_plan is None and block0 == 0
+    # (local block template + host_plan) keeps host-side filtering --
+    # except block-RANGE tiles, which pass the true geometry via
+    # keep_globals so the device filter still applies
+    device_keep = (host_plan is None and block0 == 0) or (
+        keep_globals is not None
+    )
     if host_plan is None:
         host_plan = plan
     cache_key = (codec_key, plan, data.shape[:2], max_packets_per_block)
@@ -1834,7 +1851,7 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan, mp, cand_budget,
-                scan_cap, rs_frac, pay_budget, device_keep,
+                scan_cap, rs_frac, pay_budget, device_keep, keep_globals,
             )
         with profiling.timed("codec_sizes"):
             n_ok, _total_bytes, max_len = map(
@@ -1894,7 +1911,7 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
         with profiling.timed("device_codec_step"):
             out = _dispatch_codec(
                 codec_key, data, addr, count, sync, plan, mp0, cand_budget,
-                scan_cap, rs_frac0, pay0, device_keep,
+                scan_cap, rs_frac0, pay0, device_keep, keep_globals,
             )
         with profiling.timed("device_codec_compact"):
             packed = compact_codec_out(
@@ -1964,7 +1981,8 @@ def _device_codec_submit(bank, plan, codec_key, data, addr, count, sync,
 def _device_codec_submit_mixed(bank, plan, groups, data, addr, count, sync,
                                max_packets_per_block, total_candidates,
                                block0: int = 0,
-                               host_plan: BlockPlan | None = None):
+                               host_plan: BlockPlan | None = None,
+                               keep_globals: tuple[int, int] | None = None):
     """_device_codec_submit over the bank's codec SUB-GROUPS: a bank whose
     chains mix codec options dispatches one device codec per sub-group of
     chain rows (sliced along the chain axis; the demod/slicer program
@@ -1976,6 +1994,7 @@ def _device_codec_submit_mixed(bank, plan, groups, data, addr, count, sync,
         return _device_codec_submit(
             bank, plan, groups[0][0], data, addr, count, sync,
             max_packets_per_block, total_candidates, block0, host_plan,
+            keep_globals,
         )
     subs = []
     for key, idxs in groups:
@@ -1985,6 +2004,7 @@ def _device_codec_submit_mixed(bank, plan, groups, data, addr, count, sync,
             _bank_chain_subset(bank, idxs), plan, key,
             data[sel], addr[sel], count[sel], sync[sel],
             max_packets_per_block, total_candidates, block0, host_plan,
+            keep_globals,
         ))
 
     def collect():
@@ -1992,6 +2012,78 @@ def _device_codec_submit_mixed(bank, plan, groups, data, addr, count, sync,
         for c in subs:
             out.update(c())
         return out
+
+    return collect
+
+
+# tile the codec stage only when the single-dispatch recording is long
+# enough that its packed readback + host build tail (~75 ms on the PLL
+# hour: 1.5 MB at ~40 MB/s tunnel + ~8k Packet objects) clearly exceeds
+# the sizing/compile cost of extra sub-range programs
+_CODEC_TILE_MIN_BLOCKS = 96
+_CODEC_TILES = 4
+
+
+def _submit_codec_tiled(bank, plan, groups, data, addr, count, sync,
+                        max_packets_per_block, total_candidates):
+    """Codec submission for the single-dispatch route, tiled over block
+    ranges with threaded collects.
+
+    plan_bank_run's lane-quantum alignment often fits a whole recording
+    in ONE demod dispatch (e.g. the PLL hour: 8 chains x 256 blocks =
+    exactly one 2048-lane tile), so the per-group pipelining of
+    _submit_bank_group_pipelined never triggers and the codec stage, its
+    packed readback and the host packet build run as a serial tail with
+    the device idle (measured 310 ms hour: demod 145 / codec ~60 /
+    transfer+build ~75).  Here the demod still runs as that one optimal
+    dispatch, but the codec is submitted per block RANGE against a local
+    template plan (the streaming decoder's block0/host_plan mechanics,
+    _device_codec_submit) with ``keep_globals`` carrying the true block
+    indices so the device keep filter still drops halo duplicates before
+    the packed transfer.  Tile collects drain on a 2-worker pool: tile
+    i's transfer overlaps tile i+1..'s codec compute AND tile i-1's host
+    packet build.  Packet semantics are unchanged -- same keep windows,
+    same escalation/fallback per tile, same boundary dedup (asserted by
+    tests/test_bank_runtime.py's tiled-vs-single parity test)."""
+    n_blocks = data.shape[1]
+    if n_blocks < _CODEC_TILE_MIN_BLOCKS:
+        return _device_codec_submit_mixed(
+            bank, plan, groups, data, addr, count, sync,
+            max_packets_per_block, total_candidates,
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    tile = -(-n_blocks // _CODEC_TILES)
+    template = BlockPlan(
+        n_audio=0, trim=plan.trim, block_len=plan.block_len,
+        overlap=plan.overlap, up=plan.up, trim_post=plan.trim_post,
+    )
+    subs = []
+    for b0 in range(0, n_blocks, tile):
+        b1 = min(b0 + tile, n_blocks)
+        subs.append(_device_codec_submit_mixed(
+            bank, template, groups,
+            data[:, b0:b1], addr[:, b0:b1], count[:, b0:b1],
+            sync[:, b0:b1], max_packets_per_block, total_candidates,
+            block0=b0, host_plan=plan,
+            keep_globals=(b0, plan.n_demod),
+        ))
+    pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="codec-tile")
+    futs = [pool.submit(s) for s in subs]
+
+    def collect():
+        merged: dict[str, list] = {}
+        try:
+            for f in futs:
+                for name, pkts in f.result().items():
+                    merged.setdefault(name, []).extend(pkts)
+        finally:
+            pool.shutdown(wait=False)
+        by_name = {c.name: c for c in bank.specs}
+        return {
+            name: _dedup_block_boundary(pkts, by_name[name])
+            for name, pkts in merged.items()
+        }
 
     return collect
 
@@ -2337,7 +2429,7 @@ def _submit_banked(chains, audio, dtype, block_seconds, overlap_seconds,
             )
         if groups is not None:
             data, addr, count, sync = arrays
-            collectors.append(_device_codec_submit_mixed(
+            collectors.append(_submit_codec_tiled(
                 bank, plan, groups, data, addr, count, sync,
                 max_packets_per_block, total_candidates,
             ))

@@ -408,6 +408,37 @@ def test_grouped_dispatch_matches_single(fixture_audio, codec):
     assert any(one.values())
 
 
+def test_tiled_codec_submission_matches_single(fixture_audio, monkeypatch):
+    """_submit_codec_tiled (codec stage split into block-range tiles with
+    threaded collects; device keep filter evaluated at true global block
+    indices via keep_globals) == the one-shot codec submission.  The real
+    trigger is hour-scale single-dispatch recordings (>= 96 blocks); the
+    threshold is lowered here so the short fixture exercises the tile
+    path, including an uneven final tile."""
+    import pymodem_tpu.runtime.bank as B
+    from pymodem_tpu.runtime.bank import run_banked
+
+    path = os.path.join(CONFIG_DIR, "afsk_300.json")
+    if not os.path.exists(path):
+        pytest.skip("reference configs not available")
+    rate, audio = fixture_audio
+    plan = load_plan(path, rate)
+    chains = [c for c in plan.chains if "Il2Pc Correlator" in c.name]
+    audio = audio[: rate * 80]
+    monkeypatch.setattr(B, "_CODEC_TILE_MIN_BLOCKS", 10**9)
+    one = run_banked(chains, audio, codec="device")
+    B._CODEC_BUDGET_CACHE.clear()
+    monkeypatch.setattr(B, "_CODEC_TILE_MIN_BLOCKS", 2)
+    monkeypatch.setattr(B, "_CODEC_TILES", 3)
+    tiled = run_banked(chains, audio, codec="device")
+    B._CODEC_BUDGET_CACHE.clear()
+    for name in one:
+        a = [(p.streamaddress, list(p.data)) for p in one[name]]
+        b = [(p.streamaddress, list(p.data)) for p in tiled[name]]
+        assert a == b, name
+    assert any(one.values())
+
+
 @pytest.mark.parametrize("up", [2, 3])
 def test_oversample_banked_matches_executor(rng, up):
     """output_oversample chains (afsk.py:164-165) through the banked
