@@ -1136,12 +1136,21 @@ def bank_codec_step(codec_kind: str, data, addr, count, sync, plan: BlockPlan,
     else:
         raise ValueError(codec_kind)
     if keep_filter:
-        b0, n_demod_true = keep_globals if keep_globals else (0, plan.n_demod)
-        lo = (
-            (jnp.arange(n_blocks, dtype=jnp.int32) + b0) * plan.block_len
-        )[None, :, None]
-        hi = jnp.minimum(lo + plan.block_len, n_demod_true)
-        a = out["address"] + b0 * plan.block_len
+        idx = jnp.arange(n_blocks, dtype=jnp.int32)
+        if keep_globals is None:
+            # keep this trace IDENTICAL to the pre-keep_globals form: a
+            # dead `+ 0` would change every cached codec executable's
+            # persistent-cache key and force a recompile sweep for a no-op
+            lo = (idx * plan.block_len)[None, :, None]
+            hi = jnp.minimum(lo + plan.block_len, plan.n_demod)
+            a = out["address"]
+        else:
+            # block-range tile: b0 / n_demod_true trace as runtime
+            # scalars, so every tile of a recording shares ONE program
+            b0, n_demod_true = keep_globals
+            lo = ((idx + b0) * plan.block_len)[None, :, None]
+            hi = jnp.minimum(lo + plan.block_len, n_demod_true)
+            a = out["address"] + b0 * plan.block_len
         out["ok"] = out["ok"] & (a > lo) & (a <= hi)
     out["packet"] = out["packet"].astype(jnp.uint8)  # shrink the transfer
     return out
